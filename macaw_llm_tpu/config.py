@@ -1,0 +1,339 @@
+"""Typed configuration tree for the Macaw-TPU framework.
+
+The reference (lyuchenyang/Macaw-LLM) composes three HF configs plus fusion
+hyper-parameters in ``MM_LLMs_Config`` (reference modeling.py:807-861) and
+scatters the rest across CLI flags (run_clm_llms.py:129-324), DeepSpeed JSON
+and hard-coded constants (llm_trainer.py:126-181).  Here everything lives in
+one typed dataclass tree: model / data / train / mesh.  No magic constants in
+code — they are all named fields with the reference's defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+
+# --------------------------------------------------------------------------
+# Special-token vocabulary (reference llm_trainer.py:126-133; pad id 32006
+# hard-coded at run_clm_llms.py:353 and modeling.py:959).
+# --------------------------------------------------------------------------
+IMAGE_START = 32000   # <image>
+IMAGE_END = 32001     # </image>
+AUDIO_START = 32002   # <audio>
+AUDIO_END = 32003     # </audio>
+VIDEO_START = 32004   # <video>
+VIDEO_END = 32005     # </video>
+PAD_ID = 32006        # [PAD]
+BOS_ID = 1
+EOS_ID = 2
+IGNORE_ID = -100      # loss-mask label
+
+SPECIAL_TOKENS = {
+    "<image>": IMAGE_START,
+    "</image>": IMAGE_END,
+    "<audio>": AUDIO_START,
+    "</audio>": AUDIO_END,
+    "<video>": VIDEO_START,
+    "</video>": VIDEO_END,
+}
+
+
+def _conv_out_len(length: int, kernel: int, stride: int) -> int:
+    """Output length of a VALID 1-D conv: floor((L - k) / s) + 1."""
+    return (length - kernel) // stride + 1
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    """LLaMA decoder config (reference modeling.py:94-659, vendored HF LLaMA).
+
+    Defaults are LLaMA-7B with the vocab already extended to 32007
+    (reference run_clm_llms.py:495 resize_token_embeddings).
+    """
+
+    vocab_size: int = 32007
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: Optional[int] = None  # GQA; None = MHA (reference has MHA)
+    max_position_embeddings: int = 2048
+    rope_base: float = 10000.0
+    rms_norm_eps: float = 1e-6
+    initializer_range: float = 0.02
+    pad_token_id: int = PAD_ID
+    bos_token_id: int = BOS_ID
+    eos_token_id: int = EOS_ID
+    tie_word_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads or self.num_heads
+
+    def validate(self) -> None:
+        assert self.hidden_size % self.num_heads == 0, (
+            f"hidden_size {self.hidden_size} not divisible by num_heads "
+            f"{self.num_heads}")
+
+
+@dataclass(frozen=True)
+class ClipVisionConfig:
+    """CLIP ViT vision tower (reference uses HF clip-vit-base-patch16,
+    run_clm_llms.py:480; encode via modeling.py:1085-1093)."""
+
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    image_size: int = 224
+    patch_size: int = 16
+    projection_dim: int = 512
+    layer_norm_eps: float = 1e-5
+    initializer_range: float = 0.02
+    hidden_act: str = "quick_gelu"
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2  # 196 for B/16 @224
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # +CLS
+
+
+@dataclass(frozen=True)
+class WhisperConfig:
+    """Whisper encoder (reference uses HF whisper-base, run_clm_llms.py:482;
+    encoder path modeling.py:662-805 + :1081-1083)."""
+
+    num_mel_bins: int = 80
+    d_model: int = 512
+    encoder_layers: int = 6
+    encoder_attention_heads: int = 8
+    encoder_ffn_dim: int = 2048
+    max_source_positions: int = 1500
+    layer_norm_eps: float = 1e-5
+    initializer_range: float = 0.02
+    # mel frontend constants (whisper audio.py semantics; llm_trainer.py:335-341)
+    sample_rate: int = 16000
+    n_fft: int = 400
+    hop_length: int = 160
+    chunk_length_s: int = 30
+
+    @property
+    def n_audio_samples(self) -> int:
+        return self.sample_rate * self.chunk_length_s  # 480000
+
+    @property
+    def n_mel_frames(self) -> int:
+        return self.n_audio_samples // self.hop_length  # 3000
+
+    @property
+    def encoder_seq_len(self) -> int:
+        # conv2 stride 2 halves the 3000 mel frames -> 1500
+        return self.n_mel_frames // 2
+
+
+@dataclass(frozen=True)
+class FusionConfig:
+    """Multimodal fusion hyper-parameters (reference MM_LLMs_Config,
+    modeling.py:807-861, and MM_LLMs.__init__ :864-939)."""
+
+    n_frames: int = 6
+    attention_heads: int = 8            # config default (modeling.py:811)
+    image_conv_kernel: int = 48         # modeling.py:919-920
+    image_conv_stride: int = 36
+    video_conv_kernel: int = 36         # modeling.py:921-922
+    video_conv_stride: int = 30
+    audio_conv_kernel: int = 240        # modeling.py:923-924
+    audio_conv_stride: int = 220
+    align_dropout: float = 0.1          # modeling.py:879-881
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Composite model config — the TPU-native MM_LLMs_Config equivalent."""
+
+    llm: LlamaConfig = field(default_factory=LlamaConfig)
+    vision: ClipVisionConfig = field(default_factory=ClipVisionConfig)
+    audio: WhisperConfig = field(default_factory=WhisperConfig)
+    fusion: FusionConfig = field(default_factory=FusionConfig)
+    dtype: str = "bfloat16"            # compute dtype on TPU
+    param_dtype: str = "float32"       # master params
+    remat: bool = False                # jax.checkpoint per decoder layer
+
+    # ---- static fused-sequence geometry (SURVEY §7: always-present
+    # modalities make the fused length fixed — ideal for XLA) ----
+    @property
+    def image_prefix_len(self) -> int:
+        return _conv_out_len(self.vision.num_patches,
+                             self.fusion.image_conv_kernel,
+                             self.fusion.image_conv_stride)  # 196 -> 5
+
+    @property
+    def video_prefix_len(self) -> int:
+        return _conv_out_len(self.fusion.n_frames * self.vision.num_patches,
+                             self.fusion.video_conv_kernel,
+                             self.fusion.video_conv_stride)  # 1176 -> 39
+
+    @property
+    def audio_prefix_len(self) -> int:
+        return _conv_out_len(self.audio.encoder_seq_len,
+                             self.fusion.audio_conv_kernel,
+                             self.fusion.audio_conv_stride)  # 1500 -> 6
+
+    @property
+    def total_prefix_len(self) -> int:
+        """Injected positions incl. 6 boundary tokens (reference layout:
+        [BOS][<image> im </image>][<audio> au </audio>][<video> vi </video>][text]
+        — splice order video, audio, image, each at position 1;
+        modeling.py:978-1034)."""
+        return (self.image_prefix_len + self.video_prefix_len
+                + self.audio_prefix_len + 6)
+
+    def validate(self) -> None:
+        self.llm.validate()
+        h = self.fusion.attention_heads
+        assert self.llm.hidden_size % (h * 2) == 0, (
+            f"align attention heads {h}*2 must divide llm hidden size "
+            f"{self.llm.hidden_size}")  # fixes reference quirk #5 (SURVEY §7)
+        assert self.vision.projection_dim % h == 0
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh axes. DP+ZeRO-3 of the reference (train.sh:14,
+    configs/deepspeed_config.json) maps to (data, fsdp) sharding; `tensor`
+    is exposed so TP is a config change (SURVEY §2.8)."""
+
+    data: int = 1
+    fsdp: int = -1      # -1 = all remaining devices
+    tensor: int = 1
+
+    def resolved(self, n_devices: int) -> Tuple[int, int, int]:
+        d, f, t = self.data, self.fsdp, self.tensor
+        known = [x for x in (d, f, t) if x != -1]
+        prod = 1
+        for x in known:
+            prod *= x
+        if -1 in (d, f, t):
+            rem = n_devices // prod
+            d = rem if d == -1 else d
+            f = rem if f == -1 else f
+            t = rem if t == -1 else t
+        assert d * f * t == n_devices, (
+            f"mesh {d}x{f}x{t} != {n_devices} devices")
+        return d, f, t
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization schedule (reference train.sh:20-41 +
+    configs/deepspeed_config.json:2-13)."""
+
+    learning_rate: float = 3e-5
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    weight_decay: float = 0.0
+    warmup_ratio: float = 0.03
+    lr_schedule: str = "cosine"
+    num_epochs: int = 3
+    per_device_batch_size: int = 4
+    grad_accum_steps: int = 3
+    max_grad_norm: float = 1.0
+    seed: int = 1
+    freeze_encoders: bool = True     # working flag (reference's is broken,
+                                     # run_clm_llms.py:393 — quirk #1)
+    save_steps: int = 5000
+    save_total_limit: int = 1
+    log_steps: int = 10
+    checkpoint_dir: str = "checkpoints"
+    resume: bool = True              # real resume (reference stubbed it out,
+                                     # run_clm_llms.py:556-560)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Data pipeline config (reference preprocess_data*.py + llm_trainer.py
+    globals :160-181)."""
+
+    max_text_len: int = 256          # preprocess_data_supervised.py:101
+    n_stored_frames: int = 120       # preprocess_data.py:49
+    n_sampled_frames: int = 6        # llm_trainer.py:172-181
+    image_dir: str = "data/avsd/frames/"
+    audio_dir: str = "data/avsd/audios/"
+    coco_dir: str = "data/coco/train2014/"
+    cache_path: str = "data/train_total_new_vname.cache"
+    max_eval_samples: int = 2000     # run_clm_llms_inference.py:508
+    max_new_tokens: int = 128        # modeling.py:959
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+
+    # ---------------- (de)serialization ----------------
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        return _from_dict(cls, d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+
+def _from_dict(cls: Any, d: Any) -> Any:
+    if not dataclasses.is_dataclass(cls):
+        return d
+    kwargs = {}
+    hints = {f.name: f.type for f in dataclasses.fields(cls)}
+    types = {f.name: f for f in dataclasses.fields(cls)}
+    for k, v in d.items():
+        if k not in hints:
+            continue
+        ftype = types[k].type
+        # resolve nested dataclass fields by default-factory introspection
+        default = types[k].default_factory if types[k].default_factory is not dataclasses.MISSING else None  # noqa: E501
+        if default is not None and dataclasses.is_dataclass(default):
+            kwargs[k] = _from_dict(default, v)
+        else:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+# -------- tiny configs for tests (CPU-runnable end-to-end) --------
+
+def tiny_model_config() -> ModelConfig:
+    return ModelConfig(
+        llm=LlamaConfig(vocab_size=32007, hidden_size=64, intermediate_size=128,
+                        num_layers=2, num_heads=4, max_position_embeddings=512),
+        vision=ClipVisionConfig(hidden_size=32, intermediate_size=64,
+                                num_layers=2, num_heads=2, image_size=32,
+                                patch_size=16, projection_dim=16),
+        audio=WhisperConfig(num_mel_bins=80, d_model=32, encoder_layers=2,
+                            encoder_attention_heads=2, encoder_ffn_dim=64,
+                            max_source_positions=1500),
+        fusion=FusionConfig(attention_heads=2,
+                            image_conv_kernel=2, image_conv_stride=1,
+                            video_conv_kernel=6, video_conv_stride=4,
+                            audio_conv_kernel=240, audio_conv_stride=220),
+        dtype="float32",
+        param_dtype="float32",
+    )

@@ -1,0 +1,180 @@
+"""Attention ops.
+
+Three layers of API:
+
+* ``dot_product_attention`` — the einsum core used everywhere. Softmax in
+  fp32 (reference does the same: modeling.py:202-203), additive mask.
+* ``mha_init`` / ``mha_apply`` — generic multi-head attention with separate
+  q/k/v/out projections and optional biases; used by the CLIP and Whisper
+  towers (HF CLIPAttention / WhisperAttention semantics, incl. Whisper's
+  pre-scaled queries).
+* ``torch_mha_init`` / ``torch_mha_apply`` — exact torch.nn.MultiheadAttention
+  semantics with ``add_bias_kv=True, add_zero_attn=True`` — the reference's
+  five alignment/temporal attention modules (modeling.py:879-910) are built
+  from this op. Packed in-proj weights, a learned bias K/V row and a zero
+  row appended to the key/value memory.
+
+All apply functions are batch-first: [B, S, E].
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          mask: Optional[jnp.ndarray] = None,
+                          scale: Optional[float] = None) -> jnp.ndarray:
+    """Core attention. q: [B, Sq, N, D], k/v: [B, Sk, N, D].
+
+    mask: additive [B or 1, 1 or N, Sq, Sk] fp32 mask or None.
+    Returns [B, Sq, N, D]. Softmax computed in fp32.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqnd,bknd->bnqk", q, k.astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = logits + mask
+        logits = jnp.maximum(logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bnqk,bknd->bqnd", probs, v)
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, s, e = x.shape
+    return x.reshape(b, s, num_heads, e // num_heads)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, s, n, d = x.shape
+    return x.reshape(b, s, n * d)
+
+
+# ---------------------------------------------------------------------------
+# Generic MHA (CLIP / Whisper towers)
+# ---------------------------------------------------------------------------
+
+def mha_init(rng, embed_dim: int, num_heads: int, *, bias: bool = True,
+             initializer_range: float = 0.02,
+             param_dtype=jnp.float32) -> dict:
+    ks = jax.random.split(rng, 4)
+    init = jax.nn.initializers.normal(initializer_range)
+    params = {
+        "q": {"w": init(ks[0], (embed_dim, embed_dim), param_dtype)},
+        "k": {"w": init(ks[1], (embed_dim, embed_dim), param_dtype)},
+        "v": {"w": init(ks[2], (embed_dim, embed_dim), param_dtype)},
+        "o": {"w": init(ks[3], (embed_dim, embed_dim), param_dtype)},
+    }
+    if bias:
+        for name in ("q", "k", "v", "o"):
+            params[name]["b"] = jnp.zeros((embed_dim,), param_dtype)
+    return params
+
+
+def _proj(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def mha_apply(params: dict, num_heads: int,
+              q_in: jnp.ndarray, kv_in: Optional[jnp.ndarray] = None,
+              mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Self- or cross-attention with per-projection weights. [B, S, E] in/out."""
+    if kv_in is None:
+        kv_in = q_in
+    q = _split_heads(_proj(params["q"], q_in), num_heads)
+    k = _split_heads(_proj(params["k"], kv_in), num_heads)
+    v = _split_heads(_proj(params["v"], kv_in), num_heads)
+    out = dot_product_attention(q, k, v, mask)
+    return _proj(params["o"], _merge_heads(out))
+
+
+# ---------------------------------------------------------------------------
+# torch.nn.MultiheadAttention parity (alignment attention)
+# ---------------------------------------------------------------------------
+
+def torch_mha_init(rng, embed_dim: int, num_heads: int, *,
+                   add_bias_kv: bool = True,
+                   param_dtype=jnp.float32) -> dict:
+    """Parameter layout mirrors torch: packed in_proj [3E, E] (+[3E] bias),
+    out_proj [E, E] (+[E] bias), bias_k/bias_v [E].
+
+    torch initializes in_proj with xavier_uniform_, bias_k/v with
+    xavier_normal_, out_proj with kaiming_uniform (Linear default) and zero
+    biases.
+    """
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    xavier_u = jax.nn.initializers.glorot_uniform()
+    xavier_n = jax.nn.initializers.glorot_normal()
+    params = {
+        "in_proj_w": xavier_u(k1, (3 * embed_dim, embed_dim), param_dtype),
+        "in_proj_b": jnp.zeros((3 * embed_dim,), param_dtype),
+        "out_proj_w": jax.nn.initializers.lecun_uniform()(
+            k2, (embed_dim, embed_dim), param_dtype),
+        "out_proj_b": jnp.zeros((embed_dim,), param_dtype),
+    }
+    if add_bias_kv:
+        # torch shapes bias_k/v as [1, 1, E]; we store [E].
+        params["bias_k"] = xavier_n(k3, (1, embed_dim), param_dtype)[0]
+        params["bias_v"] = xavier_n(k4, (1, embed_dim), param_dtype)[0]
+    return params
+
+
+def torch_mha_apply(params: dict, num_heads: int,
+                    query: jnp.ndarray, key: jnp.ndarray, value: jnp.ndarray,
+                    *, add_zero_attn: bool = True,
+                    dropout_rate: float = 0.0,
+                    dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """torch.nn.MultiheadAttention forward, batch-first [B, S, E].
+
+    Semantics replicated (torch functional.multi_head_attention_forward):
+      1. packed in-projection: q,k,v = split(x @ in_proj_w.T + in_proj_b)
+      2. bias_k/bias_v appended as one extra key/value position
+      3. add_zero_attn appends one all-zero key/value position
+      4. scaled dot-product softmax over keys, attn drop, out-projection
+    Dropout only applied when a dropout_rng is passed (training).
+    """
+    e = query.shape[-1]
+    w = params["in_proj_w"].astype(query.dtype)
+    b = params["in_proj_b"].astype(query.dtype)
+    wq, wk, wv = w[:e], w[e:2 * e], w[2 * e:]
+    bq, bk, bv = b[:e], b[e:2 * e], b[2 * e:]
+
+    q = query @ wq.T + bq
+    k = key @ wk.T + bk
+    v = value @ wv.T + bv
+
+    bsz = q.shape[0]
+    if "bias_k" in params:
+        bias_k = jnp.broadcast_to(params["bias_k"].astype(k.dtype), (bsz, 1, e))
+        bias_v = jnp.broadcast_to(params["bias_v"].astype(v.dtype), (bsz, 1, e))
+        k = jnp.concatenate([k, bias_k], axis=1)
+        v = jnp.concatenate([v, bias_v], axis=1)
+    if add_zero_attn:
+        zeros = jnp.zeros((bsz, 1, e), dtype=k.dtype)
+        k = jnp.concatenate([k, zeros], axis=1)
+        v = jnp.concatenate([v, zeros], axis=1)
+
+    qh = _split_heads(q, num_heads)
+    kh = _split_heads(k, num_heads)
+    vh = _split_heads(v, num_heads)
+
+    scale = (e // num_heads) ** -0.5
+    logits = jnp.einsum("bqnd,bknd->bnqk", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    probs = probs.astype(query.dtype)
+    out = jnp.einsum("bnqk,bknd->bqnd", probs, vh)
+    out = _merge_heads(out)
+    return out @ params["out_proj_w"].astype(out.dtype).T + \
+        params["out_proj_b"].astype(out.dtype)
