@@ -1,0 +1,363 @@
+"""Multimodal fusion model — the TPU-native MM_LLMs.
+
+Covers reference modeling.py:863-1093: CLIP image/video encoders, Whisper
+audio encoder, LLaMA decoder, per-modality Conv1d sequence downsamplers,
+linear adapters, alignment cross-attention (modality features = Q, the
+LLM's full token-embedding matrix = K/V), boundary-token splicing and
+mask/label extension.
+
+Sequence layout (reference prepare_inputs_for_generation, splice order
+video -> audio -> image each inserting at position 1, modeling.py:978-1034):
+
+    [BOS][<image> im0..im4 </image>][<audio> au0..au5 </audio>]
+         [<video> vi0..vi38 </video>][text ...]
+
+attention_mask gets ``prefix_len`` ones and labels get ``prefix_len``
+IGNORE_IDs prepended at the FRONT (modeling.py:1036-1044).
+
+TPU-first design notes:
+  * All three modalities are always materialized (zeros when absent) —
+    exactly the reference's runtime behavior (llm_trainer.py:314-352) —
+    so the fused sequence length is static and jit-friendly.
+  * The splice is a single concatenate in final-layout order instead of
+    the reference's three insert-at-position-1 ops (same result).
+  * The align attention's K/V memory is the [V, H] embedding matrix
+    broadcast per batch — one large static matmul, MXU-friendly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from macaw_llm_tpu.config import (AUDIO_END, AUDIO_START, IGNORE_ID,
+                                  IMAGE_END, IMAGE_START, ModelConfig,
+                                  VIDEO_END, VIDEO_START)
+from macaw_llm_tpu.models import clip, llama, whisper
+from macaw_llm_tpu.ops import torch_mha_apply, torch_mha_init
+
+
+class FusedBatch(NamedTuple):
+    inputs_embeds: jnp.ndarray            # [B, P+S, H]
+    attention_mask: Optional[jnp.ndarray]  # [B, P+S]
+    labels: Optional[jnp.ndarray]          # [B, P+S]
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_params(rng: jax.Array, cfg: ModelConfig,
+                param_dtype=jnp.float32) -> dict:
+    keys = jax.random.split(rng, 16)
+    h = cfg.llm.hidden_size
+    pd = cfg.vision.projection_dim
+    dm = cfg.audio.d_model
+    fh = cfg.fusion.attention_heads
+
+    def linear(k, din, dout):
+        lim = 1.0 / math.sqrt(din)
+        kw, kb = jax.random.split(k)
+        return {"w": jax.random.uniform(kw, (din, dout), param_dtype,
+                                        -lim, lim),
+                "b": jax.random.uniform(kb, (dout,), param_dtype, -lim, lim)}
+
+    def conv1d(k, ch, kernel):
+        lim = 1.0 / math.sqrt(ch * kernel)
+        kw, kb = jax.random.split(k)
+        return {"w": jax.random.uniform(kw, (kernel, ch, ch), param_dtype,
+                                        -lim, lim),
+                "b": jax.random.uniform(kb, (ch,), param_dtype, -lim, lim)}
+
+    return {
+        "image_encoder": clip.init_params(keys[0], cfg.vision, param_dtype),
+        "video_encoder": clip.init_params(keys[1], cfg.vision, param_dtype),
+        "audio_encoder": whisper.init_params(keys[2], cfg.audio, param_dtype),
+        "llm": llama.init_params(keys[3], cfg.llm, param_dtype),
+        "fusion": {
+            # alignment attention, heads*2 (modeling.py:888-904)
+            "image_align": torch_mha_init(keys[4], h, fh * 2,
+                                          param_dtype=param_dtype),
+            "audio_align": torch_mha_init(keys[5], h, fh * 2,
+                                          param_dtype=param_dtype),
+            "video_align": torch_mha_init(keys[6], h, fh * 2,
+                                          param_dtype=param_dtype),
+            # video-long self-attention (modeling.py:906-910)
+            "video_long_attn": torch_mha_init(keys[7], pd, fh,
+                                              param_dtype=param_dtype),
+            # simple temporal path (modeling.py:882-886, encode_video)
+            "temporal_attn": torch_mha_init(keys[8], pd, fh,
+                                            param_dtype=param_dtype),
+            "temporal_pos_emb": jax.nn.initializers.normal(1.0)(
+                keys[9], (cfg.fusion.n_frames, pd), param_dtype),
+            # adapters to LLM hidden (modeling.py:912-917)
+            "to_hidden": {
+                "video": linear(keys[10], pd, h),
+                "audio": linear(keys[11], dm, h),
+                "image": linear(keys[12], pd, h),
+            },
+            # Conv1d sequence downsamplers (modeling.py:919-924)
+            "conv": {
+                "image": conv1d(keys[13], pd, cfg.fusion.image_conv_kernel),
+                "video": conv1d(keys[14], pd, cfg.fusion.video_conv_kernel),
+                "audio": conv1d(keys[15], dm, cfg.fusion.audio_conv_kernel),
+            },
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Reference's sinusoidal PE (modeling.py:1095-1118) — note the quirk:
+# div_term = exp(-log(10000)/h * (2*i)) with i stepping by 2, i.e. the
+# frequency for pair i is 10000^(-2i/h), NOT the classic 10000^(-i/h).
+# Replicated exactly (vectorized instead of the reference's double loop).
+# ---------------------------------------------------------------------------
+
+def sinusoidal_pe(length: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    pos = jnp.arange(length, dtype=jnp.float32)[:, None]
+    i = jnp.arange(0, dim, 2, dtype=jnp.float32)[None, :]
+    div_term = jnp.exp(-(math.log(10000.0) / dim) * (2.0 * i))
+    angles = pos * div_term                       # [L, dim/2]
+    pe = jnp.zeros((length, dim), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(angles))
+    pe = pe.at[:, 1::2].set(jnp.cos(angles))
+    return pe.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Modality encoders (reference modeling.py:1050-1093)
+# ---------------------------------------------------------------------------
+
+def encode_image(params: dict, cfg: ModelConfig,
+                 images: jnp.ndarray) -> jnp.ndarray:
+    """[B, 3, H, W] -> [B, P, projection_dim] (modeling.py:1085-1093)."""
+    return clip.encode_patches(params["image_encoder"], cfg.vision, images)
+
+
+def encode_video_long(params: dict, cfg: ModelConfig, videos: jnp.ndarray,
+                      dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """[B, F, 3, H, W] -> [B, F*P, projection_dim] (modeling.py:1070-1079):
+    per-frame patch tokens, concat across frames, reference sinusoidal PE,
+    one self-attention pass."""
+    b, f = videos.shape[0], videos.shape[1]
+    frames = videos.reshape((b * f,) + videos.shape[2:])
+    feats = clip.encode_patches(params["video_encoder"], cfg.vision, frames)
+    feats = feats.reshape(b, f * feats.shape[1], feats.shape[2])
+    feats = feats + sinusoidal_pe(feats.shape[1], feats.shape[2],
+                                  feats.dtype)[None]
+    return torch_mha_apply(
+        params["fusion"]["video_long_attn"], cfg.fusion.attention_heads,
+        feats, feats, feats, add_zero_attn=True,
+        dropout_rate=cfg.fusion.align_dropout, dropout_rng=dropout_rng)
+
+
+def encode_video_simple(params: dict, cfg: ModelConfig,
+                        videos: jnp.ndarray,
+                        dropout_rng: Optional[jax.Array] = None
+                        ) -> jnp.ndarray:
+    """Alternative pooled-frame video path (reference encode_video,
+    modeling.py:1050-1068 — unused by the reference's forward but kept as a
+    selectable mode): per-frame pooled CLIP feature + learned temporal
+    position embedding + temporal self-attention over frames.
+
+    Note: the reference uses CLIP's ``get_image_features`` (post-layernormed
+    CLS pooled output -> visual_projection); replicated here.
+    """
+    b, f = videos.shape[0], videos.shape[1]
+    frames = videos.reshape((b * f,) + videos.shape[2:])
+    venc = params["video_encoder"]
+    # pooled path: post_layernorm(CLS) @ visual_projection
+    from macaw_llm_tpu.ops import layer_norm
+    hidden = clip._embeddings(venc, cfg.vision, frames)
+    hidden = layer_norm(hidden, venc["pre_layernorm"]["w"],
+                        venc["pre_layernorm"]["b"],
+                        cfg.vision.layer_norm_eps)
+
+    def body(hh, lp):
+        return clip._encoder_layer(cfg.vision, lp, hh), None
+
+    hidden, _ = jax.lax.scan(body, hidden, venc["layers"])
+    cls = layer_norm(hidden[:, 0], venc["post_layernorm"]["w"],
+                     venc["post_layernorm"]["b"], cfg.vision.layer_norm_eps)
+    pooled = cls @ venc["visual_projection"].astype(cls.dtype)  # [B*F, pd]
+    pooled = pooled + params["fusion"]["temporal_pos_emb"].astype(
+        pooled.dtype)[jnp.tile(jnp.arange(f), b)]
+    feats = pooled.reshape(b, f, -1)
+    return torch_mha_apply(
+        params["fusion"]["temporal_attn"], cfg.fusion.attention_heads,
+        feats, feats, feats, add_zero_attn=True,
+        dropout_rate=cfg.fusion.align_dropout, dropout_rng=dropout_rng)
+
+
+def encode_audio(params: dict, cfg: ModelConfig,
+                 audios: jnp.ndarray) -> jnp.ndarray:
+    """[B, 80, 3000] -> [B, 1500, d_model] (modeling.py:1081-1083)."""
+    return whisper.encode(params["audio_encoder"], cfg.audio, audios)
+
+
+# ---------------------------------------------------------------------------
+# Fusion
+# ---------------------------------------------------------------------------
+
+def _conv_downsample(p: dict, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Channel-preserving VALID Conv1d over the sequence axis
+    (reference project_* modules, modeling.py:919-924). [B, L, C]->[B,L',C].
+    """
+    out = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), window_strides=(stride,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=x.dtype)
+    return out + p["b"].astype(x.dtype)
+
+
+def _align(p: dict, heads: int, feats: jnp.ndarray, memory: jnp.ndarray,
+           dropout_rate: float, rng) -> jnp.ndarray:
+    """Alignment cross-attention: Q = modality features, K = V = the LLM
+    token-embedding matrix (modeling.py:986-1026)."""
+    return torch_mha_apply(p, heads, feats, memory, memory,
+                           add_zero_attn=True, dropout_rate=dropout_rate,
+                           dropout_rng=rng)
+
+
+def _boundary(llm_params: dict, token_id: int, batch: int,
+              dtype) -> jnp.ndarray:
+    """[B, 1, H] embedding of a boundary special token."""
+    emb = llm_params["embed_tokens"][token_id].astype(dtype)
+    return jnp.broadcast_to(emb[None, None, :], (batch, 1, emb.shape[0]))
+
+
+def prepare_inputs(params: dict, cfg: ModelConfig, *,
+                   input_ids: jnp.ndarray,
+                   images: Optional[jnp.ndarray],
+                   audios: Optional[jnp.ndarray],
+                   videos: Optional[jnp.ndarray],
+                   attention_mask: Optional[jnp.ndarray] = None,
+                   labels: Optional[jnp.ndarray] = None,
+                   dropout_rng: Optional[jax.Array] = None,
+                   video_mode: str = "long",
+                   boundary_ids: Optional[dict] = None) -> FusedBatch:
+    """Build fused embeddings + extended mask/labels
+    (reference prepare_inputs_for_generation, modeling.py:965-1048).
+
+    boundary_ids: optional override of the special-token ids, keys
+    image/audio/video -> (start_id, end_id); defaults to the 32000-32005
+    vocabulary (llm_trainer.py:126-133).
+    """
+    bids = {
+        "image": (IMAGE_START, IMAGE_END),
+        "audio": (AUDIO_START, AUDIO_END),
+        "video": (VIDEO_START, VIDEO_END),
+    }
+    if boundary_ids:
+        bids.update(boundary_ids)
+    compute = jnp.dtype(cfg.dtype)
+    lp = params["llm"]
+    fp = params["fusion"]
+    b = input_ids.shape[0]
+    heads2 = cfg.fusion.attention_heads * 2
+    drop = cfg.fusion.align_dropout if dropout_rng is not None else 0.0
+    rngs = (jax.random.split(dropout_rng, 4) if dropout_rng is not None
+            else [None] * 4)
+
+    text_emb = lp["embed_tokens"].astype(compute)[input_ids]
+    # K/V memory: full vocab embedding matrix per batch (modeling.py:974-975)
+    token_memory = jnp.broadcast_to(
+        lp["embed_tokens"].astype(compute)[None],
+        (b,) + lp["embed_tokens"].shape)
+
+    blocks = []
+    prefix_len = 0
+
+    if images is not None:
+        im = encode_image(params, cfg, images.astype(compute))
+        im = _conv_downsample(fp["conv"]["image"], im,
+                              cfg.fusion.image_conv_stride)
+        im = im @ fp["to_hidden"]["image"]["w"].astype(compute) \
+            + fp["to_hidden"]["image"]["b"].astype(compute)
+        im = _align(fp["image_align"], heads2, im, token_memory, drop,
+                    rngs[0])
+        block = jnp.concatenate(
+            [_boundary(lp, bids["image"][0], b, compute), im,
+             _boundary(lp, bids["image"][1], b, compute)], axis=1)
+        blocks.append(block)
+        prefix_len += block.shape[1]
+
+    if audios is not None:
+        au = encode_audio(params, cfg, audios.astype(compute))
+        au = _conv_downsample(fp["conv"]["audio"], au,
+                              cfg.fusion.audio_conv_stride)
+        au = au @ fp["to_hidden"]["audio"]["w"].astype(compute) \
+            + fp["to_hidden"]["audio"]["b"].astype(compute)
+        au = _align(fp["audio_align"], heads2, au, token_memory, drop,
+                    rngs[1])
+        block = jnp.concatenate(
+            [_boundary(lp, bids["audio"][0], b, compute), au,
+             _boundary(lp, bids["audio"][1], b, compute)], axis=1)
+        blocks.append(block)
+        prefix_len += block.shape[1]
+
+    if videos is not None:
+        if video_mode == "long":
+            vi = encode_video_long(params, cfg, videos.astype(compute),
+                                   rngs[2])
+        else:
+            vi = encode_video_simple(params, cfg, videos.astype(compute),
+                                     rngs[2])
+        vi = _conv_downsample(fp["conv"]["video"], vi,
+                              cfg.fusion.video_conv_stride)
+        vi = vi @ fp["to_hidden"]["video"]["w"].astype(compute) \
+            + fp["to_hidden"]["video"]["b"].astype(compute)
+        vi = _align(fp["video_align"], heads2, vi, token_memory, drop,
+                    rngs[3])
+        block = jnp.concatenate(
+            [_boundary(lp, bids["video"][0], b, compute), vi,
+             _boundary(lp, bids["video"][1], b, compute)], axis=1)
+        blocks.append(block)
+        prefix_len += block.shape[1]
+
+    # final layout: [BOS][image][audio][video][text] — equivalent to the
+    # reference's three insert-at-position-1 splices in video/audio/image
+    # code order (modeling.py:978-1034)
+    fused = jnp.concatenate([text_emb[:, :1]] + blocks + [text_emb[:, 1:]],
+                            axis=1)
+
+    out_mask = None
+    if attention_mask is not None:
+        out_mask = jnp.concatenate(
+            [jnp.ones((b, prefix_len), attention_mask.dtype),
+             attention_mask], axis=1)
+    out_labels = None
+    if labels is not None:
+        out_labels = jnp.concatenate(
+            [jnp.full((b, prefix_len), IGNORE_ID, labels.dtype), labels],
+            axis=1)
+    return FusedBatch(fused, out_mask, out_labels)
+
+
+def forward(params: dict, cfg: ModelConfig, *,
+            input_ids: jnp.ndarray,
+            images: Optional[jnp.ndarray],
+            audios: Optional[jnp.ndarray],
+            videos: Optional[jnp.ndarray],
+            attention_mask: Optional[jnp.ndarray] = None,
+            labels: Optional[jnp.ndarray] = None,
+            dropout_rng: Optional[jax.Array] = None,
+            video_mode: str = "long",
+            boundary_ids: Optional[dict] = None):
+    """Training forward (reference MM_LLMs.forward, modeling.py:941-963):
+    fuse, run the LLM over inputs_embeds, return (loss, logits)."""
+    batch = prepare_inputs(params, cfg, input_ids=input_ids, images=images,
+                           audios=audios, videos=videos,
+                           attention_mask=attention_mask, labels=labels,
+                           dropout_rng=dropout_rng, video_mode=video_mode,
+                           boundary_ids=boundary_ids)
+    logits, _ = llama.forward(
+        params["llm"], cfg.llm, inputs_embeds=batch.inputs_embeds,
+        attention_mask=batch.attention_mask, remat=cfg.remat)
+    loss = None
+    if batch.labels is not None:
+        loss = llama.clm_loss(logits, batch.labels)
+    return loss, logits

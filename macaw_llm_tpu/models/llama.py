@@ -1,0 +1,262 @@
+"""LLaMA decoder, TPU-native.
+
+Covers the reference's vendored LLaMA (modeling.py:94-659): RoPE attention
+with KV cache, SwiGLU MLP, RMSNorm pre-norm layers, CLM head with shifted
+cross-entropy ignoring -100, and an ``inputs_embeds`` entry point (the hook
+through which multimodal prefixes enter, modeling.py:417-425).
+
+Architecture differences from the reference (deliberate, TPU-first):
+  * Layer parameters are **stacked** along a leading ``num_layers`` axis and
+    the stack is traversed with ``jax.lax.scan`` — one compiled layer body
+    instead of N unrolled layers (faster compile, natural remat unit,
+    FSDP sharding rules apply uniformly).
+  * KV cache is a preallocated static-shape buffer updated with
+    ``lax.dynamic_update_slice`` (the reference concatenates tensors per
+    step, modeling.py:186-189 — a dynamic shape XLA cannot compile).
+  * RoPE cos/sin are computed in-jit (no cached buffers to re-expand).
+  * Optional GQA (num_kv_heads) — config, not new code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from macaw_llm_tpu.config import IGNORE_ID, LlamaConfig
+from macaw_llm_tpu.ops import (apply_rope, causal_mask, combine_masks,
+                               dot_product_attention, padding_mask, rms_norm,
+                               rope_cos_sin, silu)
+
+
+class KVCache(NamedTuple):
+    """Static-shape per-layer KV cache. k/v: [L, B, S_max, N_kv, D]."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    length: jnp.ndarray  # scalar int32: number of valid positions
+
+    @classmethod
+    def create(cls, cfg: LlamaConfig, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   length=jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_params(rng: jax.Array, cfg: LlamaConfig,
+                param_dtype=jnp.float32) -> dict:
+    """Random init matching reference scheme (normal(initializer_range),
+    modeling.py:325-335)."""
+    h, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    nkv = cfg.kv_heads * cfg.head_dim
+    keys = jax.random.split(rng, 16)
+    init = jax.nn.initializers.normal(cfg.initializer_range)
+    L = cfg.num_layers
+
+    def stacked(key, shape):
+        return init(key, (L,) + shape, param_dtype)
+
+    params = {
+        "embed_tokens": init(keys[0], (v, h), param_dtype),
+        "layers": {
+            "attn": {
+                "wq": stacked(keys[1], (h, h)),
+                "wk": stacked(keys[2], (h, nkv)),
+                "wv": stacked(keys[3], (h, nkv)),
+                "wo": stacked(keys[4], (h, h)),
+            },
+            "mlp": {
+                "gate": stacked(keys[5], (h, i)),
+                "up": stacked(keys[6], (h, i)),
+                "down": stacked(keys[7], (i, h)),
+            },
+            "input_norm": jnp.ones((L, h), param_dtype),
+            "post_norm": jnp.ones((L, h), param_dtype),
+        },
+        "norm": jnp.ones((h,), param_dtype),
+        "lm_head": init(keys[8], (h, v), param_dtype),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _attention(cfg: LlamaConfig, p: dict, h: jnp.ndarray,
+               mask: Optional[jnp.ndarray],
+               cos: jnp.ndarray, sin: jnp.ndarray,
+               kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+               cache_pos: Optional[jnp.ndarray]):
+    """One attention block. h: [B, S, H]. Returns (out, (k_new, v_new))."""
+    b, s, _ = h.shape
+    n, nkv, d = cfg.num_heads, cfg.kv_heads, cfg.head_dim
+    compute = h.dtype
+    q = (h @ p["wq"].astype(compute)).reshape(b, s, n, d)
+    k = (h @ p["wk"].astype(compute)).reshape(b, s, nkv, d)
+    v = (h @ p["wv"].astype(compute)).reshape(b, s, nkv, d)
+    q, k = apply_rope(q, k, cos, sin)
+
+    if kv is not None:
+        # write current k/v into the static cache at cache_pos
+        ck, cv = kv
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                          (0, cache_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                          (0, cache_pos, 0, 0))
+        k_full, v_full = ck.astype(compute), cv.astype(compute)
+        new_kv = (ck, cv)
+    else:
+        k_full, v_full = k, v
+        new_kv = (k, v)
+
+    if nkv != n:
+        rep = n // nkv
+        k_full = jnp.repeat(k_full, rep, axis=2)
+        v_full = jnp.repeat(v_full, rep, axis=2)
+
+    out = dot_product_attention(q, k_full, v_full, mask)
+    out = out.reshape(b, s, n * d)
+    return out @ p["wo"].astype(compute), new_kv
+
+
+def _mlp(p: dict, h: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU: down(silu(gate(x)) * up(x)) (reference LlamaMLP,
+    modeling.py:126-140)."""
+    c = h.dtype
+    return (silu(h @ p["gate"].astype(c)) * (h @ p["up"].astype(c))) \
+        @ p["down"].astype(c)
+
+
+def _decoder_layer(cfg: LlamaConfig, lp: dict, h: jnp.ndarray,
+                   mask, cos, sin, kv, cache_pos):
+    """Pre-norm attn + residual, pre-norm SwiGLU + residual
+    (reference LlamaDecoderLayer, modeling.py:234-299)."""
+    attn_out, new_kv = _attention(
+        cfg, lp["attn"], rms_norm(h, lp["input_norm"], cfg.rms_norm_eps),
+        mask, cos, sin, kv, cache_pos)
+    h = h + attn_out
+    h = h + _mlp(lp["mlp"], rms_norm(h, lp["post_norm"], cfg.rms_norm_eps))
+    return h, new_kv
+
+
+def embed(params: dict, input_ids: jnp.ndarray,
+          dtype=jnp.float32) -> jnp.ndarray:
+    """Token embedding lookup ([B, S] -> [B, S, H])."""
+    return params["embed_tokens"].astype(dtype)[input_ids]
+
+
+def forward_hidden(params: dict, cfg: LlamaConfig,
+                   inputs_embeds: jnp.ndarray,
+                   attention_mask: Optional[jnp.ndarray] = None,
+                   positions: Optional[jnp.ndarray] = None,
+                   kv_cache: Optional[KVCache] = None,
+                   remat: bool = False) -> Tuple[jnp.ndarray,
+                                                 Optional[KVCache]]:
+    """Decoder stack over ``inputs_embeds`` [B, S, H].
+
+    attention_mask: [B, S_total] {0,1} over the full kv length (prefix
+    conventions handled by the caller, cf. reference modeling.py:450-452).
+    positions: [B, S] int positions for RoPE; derived from the cache length
+    when omitted (reference modeling.py:434-439 semantics).
+    """
+    b, s, _ = inputs_embeds.shape
+    if kv_cache is not None:
+        cache_pos = kv_cache.length
+        kv_len = kv_cache.k.shape[2]
+        if positions is None:
+            positions = cache_pos + jnp.arange(s)[None, :]
+        # causal mask against the static cache: key j valid iff
+        # j <= cache_pos + i (queries are at cache_pos..cache_pos+s-1)
+        q_pos = cache_pos + jnp.arange(s)[:, None]
+        k_pos = jnp.arange(kv_len)[None, :]
+        base = jnp.where(k_pos <= q_pos, 0.0,
+                         jnp.finfo(jnp.float32).min)[None, None]
+        mask = base
+        if attention_mask is not None:
+            mask = combine_masks(mask, padding_mask(attention_mask, s))
+    else:
+        cache_pos = jnp.zeros((), jnp.int32)
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        mask = causal_mask(s, s)
+        if attention_mask is not None:
+            mask = combine_masks(mask, padding_mask(attention_mask, s))
+
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_base)
+
+    layer_fn = partial(_decoder_layer, cfg)
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn,
+                                  policy=jax.checkpoint_policies.nothing_saveable)
+
+    def scan_body(h, xs):
+        if kv_cache is not None:
+            lp, (ck, cv) = xs
+            h, (nk, nv) = layer_fn(lp, h, mask, cos, sin, (ck, cv), cache_pos)
+            return h, (nk, nv)
+        lp = xs
+        h, _ = layer_fn(lp, h, mask, cos, sin, None, None)
+        return h, None
+
+    h = inputs_embeds
+    if kv_cache is not None:
+        h, (nk, nv) = jax.lax.scan(scan_body, h,
+                                   (params["layers"], (kv_cache.k,
+                                                       kv_cache.v)))
+        new_cache = KVCache(k=nk, v=nv, length=cache_pos + s)
+    else:
+        h, _ = jax.lax.scan(scan_body, h, params["layers"])
+        new_cache = None
+
+    h = rms_norm(h, params["norm"].astype(h.dtype), cfg.rms_norm_eps)
+    return h, new_cache
+
+
+def logits_from_hidden(params: dict, h: jnp.ndarray) -> jnp.ndarray:
+    """CLM head (no bias, reference modeling.py:530). fp32 logits."""
+    return (h @ params["lm_head"].astype(h.dtype)).astype(jnp.float32)
+
+
+def forward(params: dict, cfg: LlamaConfig,
+            input_ids: Optional[jnp.ndarray] = None,
+            inputs_embeds: Optional[jnp.ndarray] = None,
+            attention_mask: Optional[jnp.ndarray] = None,
+            positions: Optional[jnp.ndarray] = None,
+            kv_cache: Optional[KVCache] = None,
+            remat: bool = False,
+            dtype=jnp.float32):
+    """Full CLM forward -> (logits [B,S,V] fp32, new_kv_cache).
+
+    Accepts token ids or embeddings, never both (reference
+    modeling.py:417-425)."""
+    assert (input_ids is None) != (inputs_embeds is None), \
+        "pass exactly one of input_ids / inputs_embeds"
+    if inputs_embeds is None:
+        inputs_embeds = embed(params, input_ids, dtype)
+    h, new_cache = forward_hidden(params, cfg, inputs_embeds, attention_mask,
+                                  positions, kv_cache, remat)
+    return logits_from_hidden(params, h), new_cache
+
+
+def clm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Shift-by-one cross-entropy ignoring IGNORE_ID (-100)
+    (reference modeling.py:600-610)."""
+    shift_logits = logits[:, :-1, :]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_ID
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None],
+                               axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    denom = jnp.maximum(valid.sum(), 1)
+    return nll.sum() / denom

@@ -1,0 +1,107 @@
+"""Whisper audio encoder, TPU-native.
+
+Covers the reference's audio path: HF ``WhisperModel(...).encoder`` over a
+[B, 80, 3000] log-mel (reference modeling.py:875, encode_audio :1081-1083).
+Architecture per HF WhisperEncoder (mirrored by the reference's vendored
+copy, modeling.py:662-805): Conv1d(80→d, k=3, p=1)+GELU,
+Conv1d(d→d, k=3, s=2, p=1)+GELU, learned position embedding added as a full
+weight matrix, pre-norm transformer layers, final LayerNorm.
+
+LayerDrop (reference modeling.py:766-768) is a training-time stochastic
+depth trick that is identity at eval; the encoder is frozen in the
+reference's actual training (SURVEY quirk #1), so it is intentionally not
+replicated (documented divergence).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from macaw_llm_tpu.config import WhisperConfig
+from macaw_llm_tpu.ops import gelu, layer_norm, mha_apply, mha_init
+
+
+def init_params(rng: jax.Array, cfg: WhisperConfig,
+                param_dtype=jnp.float32) -> dict:
+    d, f, L = cfg.d_model, cfg.encoder_ffn_dim, cfg.encoder_layers
+    keys = jax.random.split(rng, 8)
+    init = jax.nn.initializers.normal(cfg.initializer_range)
+
+    def ln_stack():
+        return {"w": jnp.ones((L, d), param_dtype),
+                "b": jnp.zeros((L, d), param_dtype)}
+
+    attn = jax.vmap(
+        lambda k: mha_init(k, d, cfg.encoder_attention_heads, bias=True,
+                           initializer_range=cfg.initializer_range,
+                           param_dtype=param_dtype))(
+        jax.random.split(keys[2], L))
+    # Whisper k_proj has no bias — keep the slot but zero (import writes 0s)
+    attn["k"]["b"] = jnp.zeros_like(attn["k"]["b"])
+
+    params = {
+        "conv1": {"w": init(keys[0], (3, cfg.num_mel_bins, d), param_dtype),
+                  "b": jnp.zeros((d,), param_dtype)},
+        "conv2": {"w": init(keys[1], (3, d, d), param_dtype),
+                  "b": jnp.zeros((d,), param_dtype)},
+        "embed_positions": init(keys[3], (cfg.max_source_positions, d),
+                                param_dtype),
+        "layers": {
+            "self_attn_ln": ln_stack(),
+            "attn": attn,
+            "final_ln": ln_stack(),
+            "mlp": {
+                "fc1": {"w": init(keys[4], (L, d, f), param_dtype),
+                        "b": jnp.zeros((L, f), param_dtype)},
+                "fc2": {"w": init(keys[5], (L, f, d), param_dtype),
+                        "b": jnp.zeros((L, d), param_dtype)},
+            },
+        },
+        "layer_norm": {"w": jnp.ones((d,), param_dtype),
+                       "b": jnp.zeros((d,), param_dtype)},
+    }
+    return params
+
+
+def _conv1d(p: dict, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """x [B, T, C_in] NWC -> [B, T', C_out], SAME-style padding of 1."""
+    out = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), window_strides=(stride,),
+        padding=[(1, 1)], dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=x.dtype)
+    return out + p["b"].astype(x.dtype)
+
+
+def _encoder_layer(cfg: WhisperConfig, lp: dict,
+                   h: jnp.ndarray) -> jnp.ndarray:
+    ln = layer_norm(h, lp["self_attn_ln"]["w"], lp["self_attn_ln"]["b"],
+                    cfg.layer_norm_eps)
+    h = h + mha_apply(lp["attn"], cfg.encoder_attention_heads, ln)
+    ln = layer_norm(h, lp["final_ln"]["w"], lp["final_ln"]["b"],
+                    cfg.layer_norm_eps)
+    m = gelu(ln @ lp["mlp"]["fc1"]["w"].astype(h.dtype)
+             + lp["mlp"]["fc1"]["b"].astype(h.dtype))
+    m = m @ lp["mlp"]["fc2"]["w"].astype(h.dtype) \
+        + lp["mlp"]["fc2"]["b"].astype(h.dtype)
+    return h + m
+
+
+def encode(params: dict, cfg: WhisperConfig,
+           mel: jnp.ndarray) -> jnp.ndarray:
+    """Reference ``encode_audio`` (modeling.py:1081-1083).
+
+    mel: [B, 80, 3000] log-mel (channel-first, Whisper convention)
+    -> [B, 1500, d_model].
+    """
+    x = jnp.transpose(mel, (0, 2, 1))        # NWC for TPU conv
+    x = gelu(_conv1d(params["conv1"], x, 1))
+    x = gelu(_conv1d(params["conv2"], x, 2))  # 3000 -> 1500
+    x = x + params["embed_positions"].astype(x.dtype)[None, :x.shape[1]]
+
+    def body(h, lp):
+        return _encoder_layer(cfg, lp, h), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return layer_norm(x, params["layer_norm"]["w"], params["layer_norm"]["b"],
+                      cfg.layer_norm_eps)
