@@ -168,6 +168,9 @@ class ModelConfig:
     dtype: str = "bfloat16"            # compute dtype on TPU
     param_dtype: str = "float32"       # master params
     remat: bool = False                # jax.checkpoint per decoder layer
+    use_flash: bool = False            # Pallas flash attention in the LLM
+                                       # (prefill/training path; head_dim
+                                       # should be a multiple of 128)
 
     # ---- static fused-sequence geometry (SURVEY §7: always-present
     # modalities make the fused length fixed — ideal for XLA) ----
@@ -336,4 +339,24 @@ def tiny_model_config() -> ModelConfig:
                             audio_conv_kernel=240, audio_conv_stride=220),
         dtype="float32",
         param_dtype="float32",
+    )
+
+
+# -------- flagship profiles --------
+
+def macaw_7b() -> ModelConfig:
+    """Reference-parity flagship: LLaMA-7B + 2x CLIP ViT-B/16 +
+    Whisper-base (run_clm_llms.py:480-483), ~7.3B params."""
+    return ModelConfig()
+
+
+def macaw_1b() -> ModelConfig:
+    """Single-chip flagship profile: same CLIP/Whisper towers and fusion
+    geometry as the reference, LLaMA scaled to ~1.1B so the whole fused
+    model + activations fit one v5e chip (16 GB HBM) in bf16."""
+    return ModelConfig(
+        llm=LlamaConfig(hidden_size=2048, intermediate_size=5504,
+                        num_layers=16, num_heads=16),
+        dtype="bfloat16",
+        use_flash=True,
     )

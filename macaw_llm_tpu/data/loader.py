@@ -1,0 +1,203 @@
+"""Online batch loader with async host-side prefetch.
+
+The reference loads media *synchronously inside the training loss function*
+— PIL JPEG decode × 6 frames × batch, whisper log-mel, CLIP normalize, per
+step (llm_trainer.py:306-381; SURVEY §1 calls this its biggest performance
+liability). Here a thread pool decodes media for the NEXT batches while
+the device computes the current one, and the heavy DSP (log-mel, resize/
+normalize) runs on-device inside the jitted step: the loader ships raw
+uint8 frames [H, W, 3] and raw fp32 waveforms [480000].
+
+Semantics preserved from the reference:
+  * absent media (-1 index) -> zero tensors (llm_trainer.py:314-352)
+  * 6-of-120 frame subsampling, last frame pinned (llm_trainer.py:172-181)
+  * 30 s audio pad-or-trim (llm_trainer.py:338)
+  * frames at data/avsd/frames/{name}_{i}.jpg, audio at
+    data/avsd/audios/{name}.wav, COCO under data/coco/train2014/
+    (llm_trainer.py:160-166,308-362)
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import wave
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from macaw_llm_tpu.audio.mel import N_SAMPLES
+from macaw_llm_tpu.config import DataConfig
+from macaw_llm_tpu.data.datasets import TokenizedDataset
+from macaw_llm_tpu.image.preprocess import sample_frame_indices
+
+
+def load_wav(path: str, target_len: int = N_SAMPLES) -> np.ndarray:
+    """16 kHz mono PCM16 WAV -> fp32 waveform, padded/trimmed to 30 s
+    (whisper load_audio + pad_or_trim semantics, llm_trainer.py:335-338).
+
+    Uses the native C++ decoder (native/libmacaw_media.so) when built,
+    falling back to the stdlib ``wave`` module."""
+    from macaw_llm_tpu.data import native
+    if native.available():
+        out = native.load_wav(path, target_len)
+        if out is not None:
+            return out
+    with wave.open(path, "rb") as w:
+        n = w.getnframes()
+        raw = w.readframes(n)
+        sw = w.getsampwidth()
+        ch = w.getnchannels()
+    if sw == 2:
+        audio = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif sw == 4:
+        audio = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    else:
+        audio = np.frombuffer(raw, np.uint8).astype(np.float32) / 128.0 - 1.0
+    if ch > 1:
+        audio = audio.reshape(-1, ch).mean(axis=1)
+    if audio.shape[0] >= target_len:
+        return audio[:target_len]
+    return np.pad(audio, (0, target_len - audio.shape[0]))
+
+
+def load_image(path: str, size: int) -> np.ndarray:
+    """JPEG/PNG -> uint8 [size, size, 3] (resize shortest side + center
+    crop on host; normalization happens on-device).
+
+    JPEGs go through the native C++ decoder (libjpeg + bilinear resize,
+    GIL-free) when built; PIL is the fallback and the PNG path."""
+    from macaw_llm_tpu.data import native
+    if native.available() and path.lower().endswith((".jpg", ".jpeg")):
+        with open(path, "rb") as f:
+            out = native.decode_jpeg_crop(f.read(), size)
+        if out is not None:
+            return out
+    from PIL import Image
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        w, h = im.size
+        if w < h:
+            nw, nh = size, max(size, round(size * h / w))
+        else:
+            nw, nh = max(size, round(size * w / h)), size
+        im = im.resize((nw, nh), Image.BICUBIC)
+        left, top = (nw - size) // 2, (nh - size) // 2
+        im = im.crop((left, top, left + size, top + size))
+        return np.asarray(im, np.uint8)
+
+
+@dataclass
+class MediaSource:
+    """Resolves media-name-table indices to arrays."""
+
+    names: Sequence[str]                 # the global name table list
+    data_cfg: DataConfig
+    image_size: int = 224
+    n_frames: int = 6
+
+    def image(self, idx: int) -> np.ndarray:
+        if idx < 0:
+            return np.zeros((self.image_size, self.image_size, 3), np.uint8)
+        name = self.names[idx]
+        for base in (self.data_cfg.coco_dir, self.data_cfg.image_dir):
+            p = os.path.join(base, name)
+            if os.path.exists(p):
+                return load_image(p, self.image_size)
+        return np.zeros((self.image_size, self.image_size, 3), np.uint8)
+
+    def audio(self, idx: int) -> np.ndarray:
+        if idx < 0:
+            return np.zeros((N_SAMPLES,), np.float32)
+        name = self.names[idx]
+        p = os.path.join(self.data_cfg.audio_dir, f"{name}.wav")
+        if not os.path.exists(p):
+            return np.zeros((N_SAMPLES,), np.float32)
+        return load_wav(p)
+
+    def video(self, idx: int) -> np.ndarray:
+        shape = (self.n_frames, self.image_size, self.image_size, 3)
+        if idx < 0:
+            return np.zeros(shape, np.uint8)
+        name = self.names[idx]
+        frame_ids = sample_frame_indices(self.data_cfg.n_stored_frames,
+                                         self.n_frames)
+        frames = []
+        for i in frame_ids:
+            p = os.path.join(self.data_cfg.image_dir, f"{name}_{i}.jpg")
+            if os.path.exists(p):
+                frames.append(load_image(p, self.image_size))
+            else:
+                frames.append(np.zeros((self.image_size, self.image_size, 3),
+                                       np.uint8))
+        return np.stack(frames)
+
+
+def _assemble(ds: TokenizedDataset, media: Optional[MediaSource],
+              idx: np.ndarray, accum: int) -> Dict[str, np.ndarray]:
+    rows = ds.select(idx)
+    n = len(idx)
+    out = {
+        "input_ids": rows.input_ids.astype(np.int32),
+        "attention_mask": rows.attention_mask.astype(np.int32),
+        "labels": rows.labels.astype(np.int32),
+    }
+    if media is not None:
+        out["images"] = np.stack([media.image(i) for i in rows.images])
+        out["audios"] = np.stack([media.audio(i) for i in rows.audios])
+        out["videos"] = np.stack([media.video(i) for i in rows.videos])
+    mb = n // accum
+    return {k: v.reshape((accum, mb) + v.shape[1:]) for k, v in out.items()}
+
+
+class BatchLoader:
+    """Shuffled, epoch-aware iterator of device-ready batches with a
+    background prefetch thread pool."""
+
+    def __init__(self, ds: TokenizedDataset, media: Optional[MediaSource],
+                 global_batch: int, accum: int = 1, seed: int = 0,
+                 prefetch: int = 2, drop_last: bool = True,
+                 process_index: int = 0, process_count: int = 1):
+        assert global_batch % accum == 0
+        self.ds = ds
+        self.media = media
+        self.global_batch = global_batch
+        self.accum = accum
+        self.seed = seed
+        self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+        n = len(ds)
+        self.steps_per_epoch = n // (global_batch * process_count)
+
+    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.RandomState(self.seed + epoch)
+        perm = rng.permutation(len(self.ds))
+        # contiguous per-process shard of the shuffled order
+        shard = perm[self.process_index::self.process_count]
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for step in range(self.steps_per_epoch):
+                    if stop.is_set():
+                        return
+                    idx = shard[step * self.global_batch:
+                                (step + 1) * self.global_batch]
+                    q.put(_assemble(self.ds, self.media, idx, self.accum))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,122 @@
+"""Autoregressive generation: jit-compiled prefill + decode with a static
+KV cache.
+
+Reference behavior: ``llm.generate(inputs_embeds=..., max_new_tokens=128,
+eos_token_id=2, bos_token_id=1, pad_token_id=32006)`` (modeling.py:959) —
+greedy decode that consumes embeddings on step 0 and token ids afterwards
+(reference prepare_inputs_for_generation, modeling.py:624-652), with
+position ids derived from the attention-mask cumsum (modeling.py:630-636).
+
+TPU-native design: one jitted prefill over the fused sequence, then a
+``lax.while_loop`` decode with a preallocated [B, S+max_new] cache —
+static shapes throughout, early exit when every row has emitted EOS.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from macaw_llm_tpu.config import EOS_ID, LlamaConfig, PAD_ID
+from macaw_llm_tpu.models import llama
+
+
+class GenerateResult(NamedTuple):
+    tokens: jnp.ndarray      # [B, max_new_tokens], PAD after EOS
+    num_steps: jnp.ndarray   # scalar: decode iterations actually run
+
+
+def _sample(logits: jnp.ndarray, rng: Optional[jax.Array],
+            temperature: float, top_k: int) -> jnp.ndarray:
+    """Next-token choice from [B, V] logits. Greedy when temperature==0."""
+    if temperature == 0.0 or rng is None:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, jnp.finfo(jnp.float32).min, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "eos_id",
+                                   "pad_id", "temperature", "top_k"))
+def generate(params: dict, cfg: LlamaConfig, *,
+             inputs_embeds: jnp.ndarray,
+             attention_mask: Optional[jnp.ndarray] = None,
+             max_new_tokens: int = 128,
+             eos_id: int = EOS_ID,
+             pad_id: int = PAD_ID,
+             temperature: float = 0.0,
+             top_k: int = 0,
+             rng: Optional[jax.Array] = None) -> GenerateResult:
+    """Generate from fused embeddings. inputs_embeds [B, S, H]."""
+    b, s, _ = inputs_embeds.shape
+    total = s + max_new_tokens
+    dtype = inputs_embeds.dtype
+
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, s), jnp.int32)
+    # cache-length mask: prompt mask + ones for the generated region
+    full_mask = jnp.concatenate(
+        [attention_mask.astype(jnp.int32),
+         jnp.ones((b, max_new_tokens), jnp.int32)], axis=1)
+
+    # positions from mask cumsum (reference modeling.py:630-636)
+    prompt_pos = jnp.maximum(
+        jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1, 0)
+    prompt_len = attention_mask.astype(jnp.int32).sum(axis=1)  # [B]
+
+    cache = llama.KVCache.create(cfg, b, total, dtype)
+    logits, cache = llama.forward(
+        params, cfg, inputs_embeds=inputs_embeds,
+        attention_mask=full_mask, positions=prompt_pos, kv_cache=cache,
+        dtype=dtype)
+    next_tok = _sample(logits[:, -1], rng, temperature, top_k)
+
+    class State(NamedTuple):
+        cache: llama.KVCache
+        tok: jnp.ndarray          # [B]
+        out: jnp.ndarray          # [B, max_new]
+        finished: jnp.ndarray     # [B] bool
+        step: jnp.ndarray         # scalar int32
+        rng: jax.Array
+
+    out0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
+    out0 = out0.at[:, 0].set(jnp.where(next_tok == eos_id, eos_id, next_tok))
+    state = State(cache=cache, tok=next_tok, out=out0,
+                  finished=(next_tok == eos_id),
+                  step=jnp.ones((), jnp.int32),
+                  rng=rng if rng is not None else jax.random.PRNGKey(0))
+
+    def cond(st: State):
+        return (st.step < max_new_tokens) & (~st.finished.all())
+
+    def body(st: State):
+        emb = params["embed_tokens"].astype(dtype)[st.tok][:, None, :]
+        pos = (prompt_len + st.step - 1)[:, None]
+        logits, cache = llama.forward(
+            params, cfg, inputs_embeds=emb, attention_mask=full_mask,
+            positions=pos, kv_cache=st.cache, dtype=dtype)
+        rng, sub = jax.random.split(st.rng)
+        nxt = _sample(logits[:, -1], sub, temperature, top_k)
+        nxt = jnp.where(st.finished, pad_id, nxt)
+        out = st.out.at[:, st.step].set(nxt)
+        finished = st.finished | (nxt == eos_id)
+        return State(cache=cache, tok=jnp.where(st.finished, pad_id, nxt),
+                     out=out, finished=finished, step=st.step + 1, rng=rng)
+
+    final = jax.lax.while_loop(cond, body, state)
+    return GenerateResult(tokens=final.out, num_steps=final.step)
+
+
+def generate_from_ids(params: dict, cfg: LlamaConfig, *,
+                      input_ids: jnp.ndarray,
+                      attention_mask: Optional[jnp.ndarray] = None,
+                      **kw) -> GenerateResult:
+    """Text-only convenience wrapper (Alpaca path, no media)."""
+    embeds = llama.embed(params, input_ids)
+    return generate(params, cfg, inputs_embeds=embeds,
+                    attention_mask=attention_mask, **kw)

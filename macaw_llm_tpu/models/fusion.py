@@ -38,6 +38,7 @@ from macaw_llm_tpu.config import (AUDIO_END, AUDIO_START, IGNORE_ID,
                                   VIDEO_END, VIDEO_START)
 from macaw_llm_tpu.models import clip, llama, whisper
 from macaw_llm_tpu.ops import torch_mha_apply, torch_mha_init
+from macaw_llm_tpu.ops.attention import torch_mha_apply_shared_kv
 
 
 class FusedBatch(NamedTuple):
@@ -216,10 +217,12 @@ def _conv_downsample(p: dict, x: jnp.ndarray, stride: int) -> jnp.ndarray:
 def _align(p: dict, heads: int, feats: jnp.ndarray, memory: jnp.ndarray,
            dropout_rate: float, rng) -> jnp.ndarray:
     """Alignment cross-attention: Q = modality features, K = V = the LLM
-    token-embedding matrix (modeling.py:986-1026)."""
-    return torch_mha_apply(p, heads, feats, memory, memory,
-                           add_zero_attn=True, dropout_rate=dropout_rate,
-                           dropout_rng=rng)
+    token-embedding matrix (modeling.py:986-1026). The memory is identical
+    for every batch element, so K/V are projected once ([V, H], unbatched)
+    instead of the reference's per-element projection."""
+    return torch_mha_apply_shared_kv(
+        p, heads, feats, memory, add_zero_attn=True,
+        dropout_rate=dropout_rate, dropout_rng=rng)
 
 
 def _boundary(llm_params: dict, token_id: int, batch: int,
@@ -253,6 +256,23 @@ def prepare_inputs(params: dict, cfg: ModelConfig, *,
     }
     if boundary_ids:
         bids.update(boundary_ids)
+
+    # Device-side featurization: raw 16 kHz waveforms / uint8 HWC frames are
+    # featurized on-TPU inside the jitted step — the fused-preprocessing
+    # answer to the reference's per-step CPU media loop
+    # (llm_trainer.py:306-381, SURVEY §1).
+    if audios is not None and audios.ndim == 2:
+        from macaw_llm_tpu.audio.mel import log_mel_spectrogram
+        audios = log_mel_spectrogram(audios, n_mels=cfg.audio.num_mel_bins)
+    if images is not None and images.ndim == 4 and images.shape[-1] == 3:
+        from macaw_llm_tpu.image.preprocess import preprocess as _img_prep
+        images = _img_prep(images, size=cfg.vision.image_size)
+    if videos is not None and videos.ndim == 5 and videos.shape[-1] == 3:
+        from macaw_llm_tpu.image.preprocess import preprocess as _img_prep
+        bv, fv = videos.shape[0], videos.shape[1]
+        flat = videos.reshape((bv * fv,) + videos.shape[2:])
+        flat = _img_prep(flat, size=cfg.vision.image_size)
+        videos = flat.reshape((bv, fv) + flat.shape[1:])
     compute = jnp.dtype(cfg.dtype)
     lp = params["llm"]
     fp = params["fusion"]
@@ -263,10 +283,10 @@ def prepare_inputs(params: dict, cfg: ModelConfig, *,
             else [None] * 4)
 
     text_emb = lp["embed_tokens"].astype(compute)[input_ids]
-    # K/V memory: full vocab embedding matrix per batch (modeling.py:974-975)
-    token_memory = jnp.broadcast_to(
-        lp["embed_tokens"].astype(compute)[None],
-        (b,) + lp["embed_tokens"].shape)
+    # K/V memory: the full vocab embedding matrix, shared across the batch
+    # (the reference repeats it per element, modeling.py:974-975; the
+    # projections are batch-invariant so we keep it unbatched)
+    token_memory = lp["embed_tokens"].astype(compute)
 
     blocks = []
     prefix_len = 0
@@ -356,7 +376,8 @@ def forward(params: dict, cfg: ModelConfig, *,
                            boundary_ids=boundary_ids)
     logits, _ = llama.forward(
         params["llm"], cfg.llm, inputs_embeds=batch.inputs_embeds,
-        attention_mask=batch.attention_mask, remat=cfg.remat)
+        attention_mask=batch.attention_mask, remat=cfg.remat,
+        use_flash=cfg.use_flash, dtype=batch.inputs_embeds.dtype)
     loss = None
     if batch.labels is not None:
         loss = llama.clm_loss(logits, batch.labels)

@@ -95,8 +95,14 @@ def _attention(cfg: LlamaConfig, p: dict, h: jnp.ndarray,
                mask: Optional[jnp.ndarray],
                cos: jnp.ndarray, sin: jnp.ndarray,
                kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
-               cache_pos: Optional[jnp.ndarray]):
-    """One attention block. h: [B, S, H]. Returns (out, (k_new, v_new))."""
+               cache_pos: Optional[jnp.ndarray],
+               flash_bias: Optional[jnp.ndarray] = None,
+               use_flash: bool = False):
+    """One attention block. h: [B, S, H]. Returns (out, (k_new, v_new)).
+
+    use_flash routes the no-cache (prefill/training) path through the
+    Pallas flash-attention kernel; flash_bias is the additive fp32 [B, S]
+    padding bias for it."""
     b, s, _ = h.shape
     n, nkv, d = cfg.num_heads, cfg.kv_heads, cfg.head_dim
     compute = h.dtype
@@ -123,7 +129,11 @@ def _attention(cfg: LlamaConfig, p: dict, h: jnp.ndarray,
         k_full = jnp.repeat(k_full, rep, axis=2)
         v_full = jnp.repeat(v_full, rep, axis=2)
 
-    out = dot_product_attention(q, k_full, v_full, mask)
+    if use_flash and kv is None:
+        from macaw_llm_tpu.ops.pallas.flash_attention import flash_attention
+        out = flash_attention(q, k_full, v_full, flash_bias, causal=True)
+    else:
+        out = dot_product_attention(q, k_full, v_full, mask)
     out = out.reshape(b, s, n * d)
     return out @ p["wo"].astype(compute), new_kv
 
@@ -137,12 +147,13 @@ def _mlp(p: dict, h: jnp.ndarray) -> jnp.ndarray:
 
 
 def _decoder_layer(cfg: LlamaConfig, lp: dict, h: jnp.ndarray,
-                   mask, cos, sin, kv, cache_pos):
+                   mask, cos, sin, kv, cache_pos,
+                   flash_bias=None, use_flash=False):
     """Pre-norm attn + residual, pre-norm SwiGLU + residual
     (reference LlamaDecoderLayer, modeling.py:234-299)."""
     attn_out, new_kv = _attention(
         cfg, lp["attn"], rms_norm(h, lp["input_norm"], cfg.rms_norm_eps),
-        mask, cos, sin, kv, cache_pos)
+        mask, cos, sin, kv, cache_pos, flash_bias, use_flash)
     h = h + attn_out
     h = h + _mlp(lp["mlp"], rms_norm(h, lp["post_norm"], cfg.rms_norm_eps))
     return h, new_kv
@@ -159,8 +170,9 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
                    attention_mask: Optional[jnp.ndarray] = None,
                    positions: Optional[jnp.ndarray] = None,
                    kv_cache: Optional[KVCache] = None,
-                   remat: bool = False) -> Tuple[jnp.ndarray,
-                                                 Optional[KVCache]]:
+                   remat: bool = False,
+                   use_flash: bool = False) -> Tuple[jnp.ndarray,
+                                                     Optional[KVCache]]:
     """Decoder stack over ``inputs_embeds`` [B, S, H].
 
     attention_mask: [B, S_total] {0,1} over the full kv length (prefix
@@ -193,6 +205,14 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
 
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_base)
 
+    flash_bias = None
+    if use_flash and kv_cache is None:
+        if attention_mask is not None:
+            flash_bias = jnp.where(attention_mask.astype(jnp.int32) == 1,
+                                   0.0, jnp.finfo(jnp.float32).min
+                                   ).astype(jnp.float32)
+        mask = None  # flash kernel applies causal + padding itself
+
     layer_fn = partial(_decoder_layer, cfg)
     if remat:
         layer_fn = jax.checkpoint(layer_fn,
@@ -204,7 +224,8 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
             h, (nk, nv) = layer_fn(lp, h, mask, cos, sin, (ck, cv), cache_pos)
             return h, (nk, nv)
         lp = xs
-        h, _ = layer_fn(lp, h, mask, cos, sin, None, None)
+        h, _ = layer_fn(lp, h, mask, cos, sin, None, None, flash_bias,
+                        use_flash)
         return h, None
 
     h = inputs_embeds
@@ -233,6 +254,7 @@ def forward(params: dict, cfg: LlamaConfig,
             positions: Optional[jnp.ndarray] = None,
             kv_cache: Optional[KVCache] = None,
             remat: bool = False,
+            use_flash: bool = False,
             dtype=jnp.float32):
     """Full CLM forward -> (logits [B,S,V] fp32, new_kv_cache).
 
@@ -243,7 +265,7 @@ def forward(params: dict, cfg: LlamaConfig,
     if inputs_embeds is None:
         inputs_embeds = embed(params, input_ids, dtype)
     h, new_cache = forward_hidden(params, cfg, inputs_embeds, attention_mask,
-                                  positions, kv_cache, remat)
+                                  positions, kv_cache, remat, use_flash)
     return logits_from_hidden(params, h), new_cache
 
 

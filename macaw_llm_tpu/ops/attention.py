@@ -178,3 +178,60 @@ def torch_mha_apply(params: dict, num_heads: int,
     out = _merge_heads(out)
     return out @ params["out_proj_w"].astype(out.dtype).T + \
         params["out_proj_b"].astype(out.dtype)
+
+
+def torch_mha_apply_shared_kv(params: dict, num_heads: int,
+                              query: jnp.ndarray, memory: jnp.ndarray,
+                              *, add_zero_attn: bool = True,
+                              dropout_rate: float = 0.0,
+                              dropout_rng: Optional[jax.Array] = None
+                              ) -> jnp.ndarray:
+    """torch_mha_apply specialized for a batch-shared K=V memory.
+
+    The reference's alignment attention repeats the [V, H] token-embedding
+    matrix per batch element and projects it B times (modeling.py:974-975,
+    :986-1026). The projections are identical across the batch, so here
+    ``memory`` is the unbatched [M, E] matrix, projected ONCE — an exact
+    (bit-for-bit up to reduction order) equivalent at 1/B of the K/V FLOPs
+    and HBM traffic.
+    """
+    e = query.shape[-1]
+    w = params["in_proj_w"].astype(query.dtype)
+    b = params["in_proj_b"].astype(query.dtype)
+    wq, wk, wv = w[:e], w[e:2 * e], w[2 * e:]
+    bq, bk, bv = b[:e], b[e:2 * e], b[2 * e:]
+
+    q = query @ wq.T + bq                       # [B, Sq, E]
+    k = memory @ wk.T + bk                      # [M, E] — once
+    v = memory @ wv.T + bv
+
+    rows_k, rows_v = [k], [v]
+    if "bias_k" in params:
+        rows_k.append(params["bias_k"].astype(k.dtype)[None, :])
+        rows_v.append(params["bias_v"].astype(v.dtype)[None, :])
+    if add_zero_attn:
+        zero = jnp.zeros((1, e), k.dtype)
+        rows_k.append(zero)
+        rows_v.append(zero)
+    k = jnp.concatenate(rows_k, axis=0)         # [M+2, E]
+    v = jnp.concatenate(rows_v, axis=0)
+
+    bsz, sq, _ = q.shape
+    d = e // num_heads
+    qh = q.reshape(bsz, sq, num_heads, d)
+    kh = k.reshape(-1, num_heads, d)
+    vh = v.reshape(-1, num_heads, d)
+
+    scale = d ** -0.5
+    logits = jnp.einsum("bqnd,mnd->bnqm", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    probs = probs.astype(query.dtype)
+    out = jnp.einsum("bnqm,mnd->bqnd", probs, vh)
+    out = out.reshape(bsz, sq, e)
+    return out @ params["out_proj_w"].astype(out.dtype).T + \
+        params["out_proj_b"].astype(out.dtype)

@@ -1,0 +1,410 @@
+"""Pallas TPU flash attention (forward + custom-VJP backward).
+
+Replaces the materialized [B, N, S, S] attention of the einsum path for
+the LLaMA prefill (reference LlamaAttention materializes attn_weights and
+does softmax in fp32, modeling.py:190-208) with an online-softmax kernel
+that never writes the S x S matrix to HBM:
+
+  * grid (B*N, S/block_q); K/V streamed through VMEM in block_k tiles
+  * fp32 running max/sum and fp32 accumulator in VMEM scratch
+  * causal masking by block index — K blocks entirely above the diagonal
+    are skipped (the fori_loop upper bound is the causal horizon)
+  * optional additive padding bias [B, S_k]
+  * custom VJP: dq kernel (loop over K blocks) + dk/dv kernel (loop over
+    Q blocks), both recomputing p = exp(qk - lse) flash-style
+
+Layout contract: q, k, v are [B, S, N, D] (the framework-wide convention);
+internally folded to [B*N, S, D].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+
+
+def _fold(x):
+    """[B, S, N, D] -> [B*N, S, D]"""
+    b, s, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * n, s, d)
+
+
+def _unfold(x, b, n):
+    bn, s, d = x.shape
+    return x.reshape(b, n, s, d).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                *, scale: float, block_q: int, block_k: int,
+                causal: bool, seq_k: int):
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * scale          # [bq, d]
+
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
+
+    num_k_blocks = pl.cdiv(seq_k, block_k)
+    if causal:
+        # highest K block that intersects the causal triangle of this Q block
+        hi = jnp.minimum(num_k_blocks,
+                         (qi * block_q + block_q + block_k - 1) // block_k)
+    else:
+        hi = num_k_blocks
+
+    def body(j, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0, pl.ds(j * block_k, block_k)][None, :]
+        if causal:
+            q_idx = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_idx = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(k_idx <= q_idx, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, hi, body, (m0, l0, acc0))
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    # logsumexp for the backward pass
+    lse_ref[0, 0] = (m + jnp.log(l_safe))[:, 0]
+
+
+def _flash_fwd(q, k, v, bias, scale, block_q, block_k, causal):
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    qf, kf, vf = _fold(q), _fold(k), _fold(v)
+    bn = b * n
+    grid = (bn, pl.cdiv(sq, block_q))
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda h, i: (h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sk, d), lambda h, i: (h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sk, d), lambda h, i: (h, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qf, kf, vf]
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 1, sk), lambda h, i, n=n: (h // n, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(bias.astype(jnp.float32)[:, None, :])
+        kernel = functools.partial(
+            _fwd_kernel, scale=scale, block_q=block_q, block_k=block_k,
+            causal=causal, seq_k=sk)
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
+            _fwd_kernel(q_ref, k_ref, v_ref, None, o_ref, lse_ref,
+                        scale=scale, block_q=block_q, block_k=block_k,
+                        causal=causal, seq_k=sk)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda h, i: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda h, i: (h, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bn, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((bn, 1, sq), jnp.float32),
+        ),
+    )(*args)
+    return _unfold(out, b, n), lse
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, *, scale, block_q, block_k, causal, seq_k):
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * scale
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+
+    num_k_blocks = pl.cdiv(seq_k, block_k)
+    hi = (jnp.minimum(num_k_blocks,
+                      (qi * block_q + block_q + block_k - 1) // block_k)
+          if causal else num_k_blocks)
+
+    def body(j, dq):
+        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0, pl.ds(j * block_k, block_k)][None, :]
+        if causal:
+            q_idx = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_idx = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(k_idx <= q_idx, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, hi, body,
+                           jnp.zeros((block_q, q.shape[-1]), jnp.float32))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                    delta_ref, dk_ref, dv_ref,
+                    *, scale, block_q, block_k, causal, seq_q):
+    ki = pl.program_id(1)
+    k = k_ref[0].astype(jnp.float32)                  # [bk, d]
+    v = v_ref[0].astype(jnp.float32)
+    if bias_ref is not None:
+        bias = bias_ref[0, 0][None, :]                # [1, bk]
+    num_q_blocks = pl.cdiv(seq_q, block_q)
+    lo = (ki * block_k) // block_q if causal else 0
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32) \
+            * scale
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if bias_ref is not None:
+            s = s + bias
+        if causal:
+            q_idx = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_idx = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(k_idx <= q_idx, s, NEG_INF)
+        p = jnp.exp(s - lse)                          # [bq, bk]
+        dv_new = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_new = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk_new, dv_new
+
+    dk0 = jnp.zeros((block_k, k.shape[-1]), jnp.float32)
+    dv0 = jnp.zeros((block_k, v.shape[-1]), jnp.float32)
+    dk, dv = jax.lax.fori_loop(lo, num_q_blocks, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd(res, g, scale, block_q, block_k, causal):
+    q, k, v, bias, out, lse = res
+    do = g
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    bn = b * n
+
+    # delta = rowsum(do * out), fp32
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)                           # [B, S, N]
+    delta_f = delta.transpose(0, 2, 1).reshape(bn, 1, sq)
+    qf, kf, vf = _fold(q), _fold(k), _fold(v)
+    dof = _fold(do)
+
+    has_bias = bias is not None
+    bias_args = [bias.astype(jnp.float32)[:, None, :]] if has_bias else []
+
+    def bias_spec(n_heads):
+        return pl.BlockSpec((1, 1, sk),
+                            lambda h, i, n=n_heads: (h // n, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    # ---- dq ----
+    dq_in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda h, i: (h, i, 0),
+                     memory_space=pltpu.VMEM),                      # q
+        pl.BlockSpec((1, sk, d), lambda h, i: (h, 0, 0),
+                     memory_space=pltpu.VMEM),                      # k
+        pl.BlockSpec((1, sk, d), lambda h, i: (h, 0, 0),
+                     memory_space=pltpu.VMEM),                      # v
+    ]
+    if has_bias:
+        dq_in_specs.append(bias_spec(n))
+    dq_in_specs += [
+        pl.BlockSpec((1, block_q, d), lambda h, i: (h, i, 0),
+                     memory_space=pltpu.VMEM),                      # do
+        pl.BlockSpec((1, 1, block_q), lambda h, i: (h, 0, i),
+                     memory_space=pltpu.VMEM),                      # lse
+        pl.BlockSpec((1, 1, block_q), lambda h, i: (h, 0, i),
+                     memory_space=pltpu.VMEM),                      # delta
+    ]
+
+    def dq_kernel(*refs):
+        if has_bias:
+            q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, \
+                dq_ref = refs
+        else:
+            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
+            bias_ref = None
+        _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                       delta_ref, dq_ref, scale=scale, block_q=block_q,
+                       block_k=block_k, causal=causal, seq_k=sk)
+
+    dqf = pl.pallas_call(
+        dq_kernel,
+        grid=(bn, pl.cdiv(sq, block_q)),
+        in_specs=dq_in_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda h, i: (h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bn, sq, d), q.dtype),
+    )(qf, kf, vf, *bias_args, dof, lse, delta_f)
+
+    # ---- dk / dv ----
+    dkv_in_specs = [
+        pl.BlockSpec((1, sq, d), lambda h, j: (h, 0, 0),
+                     memory_space=pltpu.VMEM),                      # q
+        pl.BlockSpec((1, block_k, d), lambda h, j: (h, j, 0),
+                     memory_space=pltpu.VMEM),                      # k
+        pl.BlockSpec((1, block_k, d), lambda h, j: (h, j, 0),
+                     memory_space=pltpu.VMEM),                      # v
+    ]
+    if has_bias:
+        dkv_in_specs.append(
+            pl.BlockSpec((1, 1, block_k), lambda h, j, n=n: (h // n, 0, j),
+                         memory_space=pltpu.VMEM))
+    dkv_in_specs += [
+        pl.BlockSpec((1, sq, d), lambda h, j: (h, 0, 0),
+                     memory_space=pltpu.VMEM),                      # do
+        pl.BlockSpec((1, 1, sq), lambda h, j: (h, 0, 0),
+                     memory_space=pltpu.VMEM),                      # lse
+        pl.BlockSpec((1, 1, sq), lambda h, j: (h, 0, 0),
+                     memory_space=pltpu.VMEM),                      # delta
+    ]
+
+    def dkv_kernel(*refs):
+        if has_bias:
+            q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, \
+                dk_ref, dv_ref = refs
+        else:
+            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, \
+                dv_ref = refs
+            bias_ref = None
+        _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                        delta_ref, dk_ref, dv_ref, scale=scale,
+                        block_q=block_q, block_k=block_k, causal=causal,
+                        seq_q=sq)
+
+    dkf, dvf = pl.pallas_call(
+        dkv_kernel,
+        grid=(bn, pl.cdiv(sk, block_k)),
+        in_specs=dkv_in_specs,
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda h, j: (h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda h, j: (h, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bn, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((bn, sk, d), v.dtype),
+        ),
+    )(qf, kf, vf, *bias_args, dof, lse, delta_f)
+
+    dq = _unfold(dqf, b, n)
+    dk = _unfold(dkf, b, n)
+    dv = _unfold(dvf, b, n)
+    dbias = None
+    if has_bias:
+        dbias = jnp.zeros_like(bias)  # additive bias grads not propagated
+    return dq, dk, dv, dbias
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_core(q, k, v, bias, scale, block_q, block_k, causal):
+    out, _ = _flash_fwd(q, k, v, bias, scale, block_q, block_k, causal)
+    return out
+
+
+def _flash_core_fwd(q, k, v, bias, scale, block_q, block_k, causal):
+    out, lse = _flash_fwd(q, k, v, bias, scale, block_q, block_k, causal)
+    return out, (q, k, v, bias, out, lse)
+
+
+def _flash_core_bwd(scale, block_q, block_k, causal, res, g):
+    return _flash_bwd(res, g, scale, block_q, block_k, causal)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    padding_bias: Optional[jnp.ndarray] = None, *,
+                    causal: bool = True,
+                    scale: Optional[float] = None,
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K) -> jnp.ndarray:
+    """Flash attention. q/k/v: [B, S, N, D]; padding_bias: additive fp32
+    [B, S_k] (0 for keep, NEG_INF for masked) or None. Returns [B, S, N, D].
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    sq, sk = q.shape[1], k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    # pad seq lens up to block multiples
+    pad_q = (-sq) % block_q
+    pad_k = (-sk) % block_k
+    if pad_q or pad_k:
+        qp = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+        kp = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+        bias = padding_bias
+        if pad_k:
+            if bias is None:
+                bias = jnp.zeros((q.shape[0], sk), jnp.float32)
+            bias = jnp.pad(bias, ((0, 0), (0, pad_k)),
+                           constant_values=NEG_INF)
+        out = _flash_core(qp, kp, vp, bias, scale, block_q, block_k, causal)
+        return out[:, :sq]
+    return _flash_core(q, k, v, padding_bias, scale, block_q, block_k,
+                       causal)

@@ -1,0 +1,212 @@
+"""Training entry point — the TPU-native run_clm_llms.py.
+
+Mirrors the reference CLI surface (run_clm_llms.py:401-588): config from a
+JSON file or flags, dataset cache in, encoder freezing, epoch loop with
+grad accumulation, periodic checkpoints, final save — plus the things the
+reference stubbed or broke: real weight loading, real resume, a working
+freeze flag (SURVEY §7 quirks #1-#3).
+
+Usage:
+    python -m macaw_llm_tpu.run_train --config cfg.json \
+        --cache data/train.npz --names data/all_visual_names.json \
+        --tokenizer trained_models/llama_tokenizer --output-dir out/
+    python -m macaw_llm_tpu.run_train --synthetic --tiny   # smoke test
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+import jax
+import numpy as np
+
+from macaw_llm_tpu.config import Config, IGNORE_ID, PAD_ID, tiny_model_config
+from macaw_llm_tpu.data.datasets import TokenizedDataset
+from macaw_llm_tpu.data.loader import BatchLoader, MediaSource
+from macaw_llm_tpu.models import fusion
+from macaw_llm_tpu.parallel.mesh import create_mesh, multihost_initialize
+from macaw_llm_tpu.train.checkpoint import CheckpointManager
+from macaw_llm_tpu.train.trainer import Trainer
+from macaw_llm_tpu.utils.logging import MetricsLogger, setup_logging
+
+logger = logging.getLogger("macaw.train")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Macaw-TPU training")
+    p.add_argument("--config", type=str, default=None,
+                   help="JSON Config file (macaw_llm_tpu.config.Config)")
+    p.add_argument("--cache", type=str, default=None,
+                   help="tokenized dataset cache (.npz)")
+    p.add_argument("--names", type=str, default=None,
+                   help="media name table JSON ({'list': [...]})")
+    p.add_argument("--tokenizer", type=str, default=None)
+    p.add_argument("--output-dir", type=str, default="checkpoints")
+    p.add_argument("--llama-weights", type=str, default=None,
+                   help="HF LLaMA checkpoint dir (torch)")
+    p.add_argument("--clip-weights", type=str, default=None)
+    p.add_argument("--whisper-weights", type=str, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--steps", type=int, default=None,
+                   help="hard step cap (overrides epochs for smoke runs)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on random synthetic data (smoke test)")
+    p.add_argument("--tiny", action="store_true",
+                   help="use the tiny test model config")
+    p.add_argument("--no-media", action="store_true",
+                   help="text-only batches (no image/audio/video columns)")
+    return p.parse_args(argv)
+
+
+def load_pretrained(cfg: Config, args) -> dict:
+    """Compose the fusion model, loading pretrained towers when given
+    (the working version of run_clm_llms.py:478-483)."""
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    params = fusion.init_params(rng, cfg.model)
+    if args.llama_weights:
+        import torch
+        from macaw_llm_tpu.utils.hf_import import (import_llama,
+                                                   resize_token_embeddings)
+        sd = torch.load(os.path.join(args.llama_weights,
+                                     "pytorch_model.bin"), map_location="cpu")
+        llm = import_llama(sd, cfg.model.llm)
+        params["llm"] = resize_token_embeddings(llm,
+                                                cfg.model.llm.vocab_size)
+    if args.clip_weights:
+        import torch
+        from macaw_llm_tpu.utils.hf_import import import_clip_vision
+        sd = torch.load(os.path.join(args.clip_weights,
+                                     "pytorch_model.bin"), map_location="cpu")
+        params["image_encoder"] = import_clip_vision(sd, cfg.model.vision)
+        params["video_encoder"] = import_clip_vision(sd, cfg.model.vision)
+    if args.whisper_weights:
+        import torch
+        from macaw_llm_tpu.utils.hf_import import import_whisper_encoder
+        sd = torch.load(os.path.join(args.whisper_weights,
+                                     "pytorch_model.bin"), map_location="cpu")
+        params["audio_encoder"] = import_whisper_encoder(sd, cfg.model.audio)
+    return params
+
+
+def synthetic_dataset(cfg: Config, n: int = 64) -> TokenizedDataset:
+    rng = np.random.RandomState(0)
+    L = cfg.data.max_text_len
+    ids = rng.randint(16, min(cfg.model.llm.vocab_size, 32000), (n, L))
+    ids[:, 0] = 1
+    labels = ids.copy()
+    labels[:, :8] = IGNORE_ID
+    return TokenizedDataset(
+        input_ids=ids.astype(np.int32),
+        attention_mask=np.ones((n, L), np.int32),
+        labels=labels.astype(np.int32),
+        images=np.full((n,), -1, np.int32),
+        audios=np.full((n,), -1, np.int32),
+        videos=np.full((n,), -1, np.int32),
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    setup_logging()
+    multihost_initialize()
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = Config.from_json(f.read())
+    else:
+        cfg = Config()
+    if args.tiny:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, model=tiny_model_config())
+    cfg.model.validate()
+
+    mesh = create_mesh(cfg.mesh)
+    n_devices = len(jax.devices())
+    logger.info("mesh: %s over %d devices", dict(mesh.shape), n_devices)
+
+    # ---- data ----
+    if args.synthetic or not args.cache:
+        ds = synthetic_dataset(cfg)
+        media = None if args.no_media else _zero_media(cfg)
+        tokenizer = None
+    else:
+        ds = TokenizedDataset.load(args.cache)
+        names = []
+        if args.names:
+            with open(args.names) as f:
+                names = json.load(f)["list"]
+        media = MediaSource(names, cfg.data,
+                            image_size=cfg.model.vision.image_size,
+                            n_frames=cfg.model.fusion.n_frames)
+
+    global_batch = (cfg.train.per_device_batch_size * n_devices
+                    * cfg.train.grad_accum_steps)
+    loader = BatchLoader(ds, media, global_batch=global_batch,
+                         accum=cfg.train.grad_accum_steps,
+                         seed=cfg.train.seed,
+                         process_index=jax.process_index(),
+                         process_count=jax.process_count())
+    epochs = args.epochs or cfg.train.num_epochs
+    total_steps = max(1, loader.steps_per_epoch * epochs)
+    if args.steps:
+        total_steps = min(total_steps, args.steps)
+
+    # ---- model / trainer / resume ----
+    params = load_pretrained(cfg, args)
+    trainer = Trainer(cfg, mesh, total_steps)
+    state = trainer.init_state(params)
+    del params
+
+    ckpt = CheckpointManager(args.output_dir,
+                             save_steps=cfg.train.save_steps,
+                             max_to_keep=cfg.train.save_total_limit)
+    if cfg.train.resume and ckpt.latest_step() is not None:
+        logger.info("resuming from step %s", ckpt.latest_step())
+        state = ckpt.restore(state)
+
+    metrics_log = MetricsLogger(
+        os.path.join(args.output_dir, "metrics.jsonl"),
+        log_every=cfg.train.log_steps)
+
+    # ---- loop ----
+    tokens_per_batch = global_batch * cfg.data.max_text_len
+    start_step = int(state.step)
+    done = start_step >= total_steps
+    batch_counter = 0
+    for epoch in range(epochs):
+        if done:
+            break
+        for batch in loader.epoch(epoch):
+            batch_counter += 1
+            if batch_counter <= start_step:  # fast-forward after resume
+                continue
+            state, m = trainer.train_step(state, batch)
+            step = int(state.step)
+            metrics_log.log(step, m, tokens_per_batch=tokens_per_batch,
+                            examples_per_batch=global_batch,
+                            n_chips=n_devices)
+            ckpt.save(state, cfg)
+            if step >= total_steps:
+                done = True
+                break
+
+    ckpt.save(state, cfg, force=True)
+    ckpt.wait()
+    metrics_log.close()
+    logger.info("training done at step %d", int(state.step))
+    return state
+
+
+def _zero_media(cfg: Config):
+    """Synthetic media source: always-zero tensors (matches the
+    reference's absent-modality behavior)."""
+    return MediaSource([], cfg.data,
+                       image_size=cfg.model.vision.image_size,
+                       n_frames=cfg.model.fusion.n_frames)
+
+
+if __name__ == "__main__":
+    main()

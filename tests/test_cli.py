@@ -1,0 +1,83 @@
+"""End-to-end CLI smoke tests: train (synthetic) -> checkpoint -> resume ->
+inference generation dump. The tiny-config equivalent of
+train.sh + inference.sh."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from macaw_llm_tpu.config import (Config, MeshConfig, TrainConfig,
+                                  tiny_model_config)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 simulated devices")
+
+
+def _cfg() -> Config:
+    return Config(model=tiny_model_config(),
+                  mesh=MeshConfig(data=1, fsdp=8, tensor=1),
+                  train=TrainConfig(per_device_batch_size=1,
+                                    grad_accum_steps=2, save_steps=2,
+                                    log_steps=1))
+
+
+def test_train_resume_and_inference(tmp_path):
+    from macaw_llm_tpu import run_train
+    cfg_path = str(tmp_path / "cfg.json")
+    out_dir = str(tmp_path / "out")
+    with open(cfg_path, "w") as f:
+        f.write(_cfg().to_json())
+
+    state = run_train.main(["--config", cfg_path, "--synthetic",
+                            "--output-dir", out_dir, "--steps", "2",
+                            "--no-media"])
+    assert int(state.step) == 2
+    assert os.path.exists(os.path.join(out_dir, "config.json"))
+    assert os.path.exists(os.path.join(out_dir, "metrics.jsonl"))
+    with open(os.path.join(out_dir, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    assert len(recs) == 2
+    assert np.isfinite(recs[-1]["loss"])
+
+    # resume: ask for 3 steps total; run_train should fast-forward
+    state2 = run_train.main(["--config", cfg_path, "--synthetic",
+                             "--output-dir", out_dir, "--steps", "3",
+                             "--no-media"])
+    assert int(state2.step) == 3
+
+    # inference from the checkpoint
+    from macaw_llm_tpu import run_inference
+    val = [{"instruction": f"question {i}", "response": "yes",
+            "image": "None", "video": "None", "audio": "None"}
+           for i in range(3)]
+    val_path = str(tmp_path / "toy_val_inference.json")
+    with open(val_path, "w") as f:
+        json.dump(val, f)
+
+    class MiniTok:
+        pad_token_id = 32006
+
+        def encode(self, text):
+            return [1] + [7 + (hash(w) % 31000) for w in text.split()]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(i) for i in ids)
+
+    # run through the library path (CLI main requires a HF tokenizer dir)
+    from macaw_llm_tpu.eval import batch_inference_generation
+    from macaw_llm_tpu.train.checkpoint import load_config
+    cfg = load_config(out_dir)
+    params = run_inference.restore_params(out_dir, cfg)
+    results = batch_inference_generation(
+        params, cfg, MiniTok(), val, None, batch_size=2,
+        max_new_tokens=4,
+        out_path=str(tmp_path / "eval_outputs/toy_eval_outputs.json"))
+    assert len(results) == 3
+    assert all("generation" in r and "response" in r for r in results)
+    assert os.path.exists(str(tmp_path /
+                              "eval_outputs/toy_eval_outputs.json"))

@@ -1,0 +1,246 @@
+"""Data pipeline tests: tokenization/masking recipe, templates, name table,
+mixer, loader (synthetic fixtures)."""
+
+import os
+import tempfile
+import wave
+
+import numpy as np
+import pytest
+
+from macaw_llm_tpu.config import DataConfig, IGNORE_ID
+from macaw_llm_tpu.data.datasets import (TokenizedDataset, build_alpaca,
+                                         build_avsd, build_name_table,
+                                         build_vqa, coco_pad_image_name,
+                                         mix_datasets, tokenize_example)
+from macaw_llm_tpu.data.loader import (BatchLoader, MediaSource, load_wav)
+from macaw_llm_tpu.data.templates import (PROMPT_INPUT, PROMPT_NO_INPUT,
+                                          format_full, format_prompt)
+
+
+class FakeTokenizer:
+    """Whitespace tokenizer for recipe tests (vocab-free)."""
+
+    pad_token_id = 32006
+
+    def encode(self, text: str):
+        # id = stable hash of each whitespace token, bos prepended
+        return [1] + [7 + (hash(w) % 31000) for w in text.split()]
+
+
+class TestTemplates:
+    def test_exact_reference_strings(self):
+        # preprocess_data_supervised.py:27-38
+        assert PROMPT_NO_INPUT.startswith(
+            "Below is an instruction that describes a task. ")
+        assert "### Instruction:\n{}\n\n### Response:" in PROMPT_NO_INPUT
+        assert "### Input:\n{}" in PROMPT_INPUT
+        assert format_prompt("Q", "") == PROMPT_NO_INPUT.format("Q")
+        assert format_prompt("Q", "ctx") == PROMPT_INPUT.format("Q", "ctx")
+        assert format_full("Q", "", "A").endswith("### Response:\n A \n\n")
+
+
+class TestTokenizeExample:
+    def test_masking_recipe(self):
+        # reference preprocess_data_supervised.py:137-152
+        tok = FakeTokenizer()
+        prompt = format_prompt("what is this", "")
+        out = tokenize_example(tok, prompt, "a cat", max_len=64)
+        t_prompt = tok.encode(prompt)
+        prefix_len = len(t_prompt) - 1
+        assert (out["labels"][:prefix_len] == IGNORE_ID).all()
+        # label at prefix_len equals the id at that position
+        assert out["labels"][prefix_len] == out["input_ids"][prefix_len]
+        # pad region: mask 0, labels ignored
+        n_real = out["attention_mask"].sum()
+        assert (out["labels"][n_real:] == IGNORE_ID).all()
+        assert (out["input_ids"][n_real:] == tok.pad_token_id).all()
+
+    def test_prompt_too_long_dropped(self):
+        tok = FakeTokenizer()
+        out = tokenize_example(tok, "w " * 300, "x", max_len=64)
+        assert out is None
+
+    def test_truncation(self):
+        tok = FakeTokenizer()
+        out = tokenize_example(tok, "short prompt", "y " * 500, max_len=32)
+        assert out["input_ids"].shape == (32,)
+        assert out["attention_mask"].sum() == 32
+
+
+class TestBuilders:
+    def test_alpaca_no_media(self):
+        ds = build_alpaca(FakeTokenizer(),
+                          [{"instruction": "a", "input": "", "output": "b"},
+                           {"instruction": "c", "input": "d", "output": "e"}],
+                          max_len=64)
+        assert len(ds) == 2
+        assert (ds.images == -1).all() and (ds.videos == -1).all()
+
+    def test_vqa_name_lookup_with_coco_padding(self):
+        table = build_name_table(
+            ["COCO_train2014_000000000042.jpg"], ["vid1"])
+        ds = build_vqa(FakeTokenizer(),
+                       [{"instruction": "q", "output": "a",
+                         "image": "COCO_train2014_42.jpg"}],
+                       table["dict"], max_len=64)
+        assert ds.images[0] == 0      # padded name resolved
+        assert ds.audios[0] == -1
+
+    def test_avsd_one_example_per_turn_shared_index(self):
+        table = build_name_table([], ["vidA"])
+        ds = build_avsd(FakeTokenizer(),
+                        [{"video": "vidA",
+                          "turns": [{"question": "q1", "answer": "a1"},
+                                    {"question": "q2", "answer": "a2"}]}],
+                        table["dict"], max_len=64)
+        assert len(ds) == 2
+        assert (ds.videos == 0).all() and (ds.audios == 0).all()
+        assert (ds.images == -1).all()
+
+    def test_coco_pad(self):
+        assert coco_pad_image_name("COCO_train2014_42.jpg") == \
+            "COCO_train2014_000000000042.jpg"
+
+    def test_mix_and_roundtrip(self, tmp_path):
+        tok = FakeTokenizer()
+        a = build_alpaca(tok, [{"instruction": f"i{k}", "input": "",
+                                "output": "o"} for k in range(10)], 32)
+        b = build_alpaca(tok, [{"instruction": f"j{k}", "input": "",
+                                "output": "o"} for k in range(10)], 32)
+        mixed = mix_datasets(np.random.RandomState(0), [a, b], per_part=5)
+        assert len(mixed) == 10
+        p = str(tmp_path / "cache.npz")
+        mixed.save(p)
+        back = TokenizedDataset.load(p)
+        np.testing.assert_array_equal(back.input_ids, mixed.input_ids)
+
+
+def _write_wav(path, n=16000, sr=16000):
+    t = np.arange(n) / sr
+    pcm = (0.3 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+class TestLoader:
+    def test_wav_roundtrip_pad(self, tmp_path):
+        p = str(tmp_path / "a.wav")
+        _write_wav(p, n=16000)
+        audio = load_wav(p)
+        assert audio.shape == (480000,)
+        assert abs(audio[:16000]).max() > 0.2
+        assert (audio[16000:] == 0).all()
+
+    def test_batches_with_media(self, tmp_path):
+        from PIL import Image
+        img_dir = tmp_path / "frames"
+        audio_dir = tmp_path / "audios"
+        img_dir.mkdir()
+        audio_dir.mkdir()
+        # one video's frames + audio
+        for i in [0, 2, 4, 6, 8, 11]:
+            Image.fromarray(
+                np.full((64, 64, 3), 100, np.uint8)).save(
+                str(img_dir / f"vid1_{i}.jpg"))
+        _write_wav(str(audio_dir / "vid1.wav"))
+
+        dcfg = DataConfig(image_dir=str(img_dir) + "/",
+                          audio_dir=str(audio_dir) + "/",
+                          coco_dir=str(tmp_path) + "/",
+                          n_stored_frames=12, n_sampled_frames=6)
+        tok = FakeTokenizer()
+        table = build_name_table([], ["vid1"])
+        ds = build_avsd(tok, [{"video": "vid1",
+                               "turns": [{"question": f"q{k}",
+                                          "answer": "a"}
+                                         for k in range(8)]}],
+                        table["dict"], max_len=32)
+        media = MediaSource(table["list"], dcfg, image_size=32, n_frames=6)
+        loader = BatchLoader(ds, media, global_batch=4, accum=2, seed=0)
+        batches = list(loader.epoch(0))
+        assert len(batches) == loader.steps_per_epoch == 2
+        b = batches[0]
+        assert b["input_ids"].shape == (2, 2, 32)
+        assert b["videos"].shape == (2, 2, 6, 32, 32, 3)
+        assert b["audios"].shape == (2, 2, 480000)
+        assert b["images"].shape == (2, 2, 32, 32, 3)
+        # video present -> frames nonzero; image absent -> zeros
+        assert b["videos"].max() > 0
+        assert b["images"].max() == 0
+
+    def test_deterministic_shuffle_per_epoch(self):
+        tok = FakeTokenizer()
+        ds = build_alpaca(tok, [{"instruction": f"i{k}", "input": "",
+                                 "output": "o"} for k in range(16)], 48)
+        assert len(ds) == 16
+        l1 = BatchLoader(ds, None, global_batch=4, accum=1, seed=3)
+        l2 = BatchLoader(ds, None, global_batch=4, accum=1, seed=3)
+        b1 = [b["input_ids"] for b in l1.epoch(0)]
+        b2 = [b["input_ids"] for b in l2.epoch(0)]
+        for x, y in zip(b1, b2):
+            np.testing.assert_array_equal(x, y)
+        e1 = [b["input_ids"] for b in l1.epoch(1)]
+        assert not all((x == y).all() for x, y in zip(b1, e1))
+
+
+class TestNativeLoader:
+    """Native C++ media decode (native/libmacaw_media.so) vs Python paths."""
+
+    @pytest.fixture(autouse=True)
+    def require_lib(self):
+        from macaw_llm_tpu.data import native
+        if not native.available():
+            pytest.skip("libmacaw_media.so not built")
+
+    def test_wav_matches_python(self, tmp_path):
+        from macaw_llm_tpu.data import native
+        p = str(tmp_path / "n.wav")
+        _write_wav(p, n=32000)
+        nat = native.load_wav(p, 480000)
+        # python path, bypassing native
+        import wave as _w
+        with _w.open(p, "rb") as w:
+            raw = w.readframes(w.getnframes())
+        py = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+        np.testing.assert_allclose(nat[:32000], py, atol=1e-6)
+        assert (nat[32000:] == 0).all()
+
+    def test_jpeg_decode_close_to_pil(self, tmp_path):
+        from PIL import Image
+        from macaw_llm_tpu.data import native
+        rng = np.random.RandomState(0)
+        base = rng.rand(30, 40, 3)
+        img = (np.kron(base, np.ones((16, 16, 1))) * 255).astype(np.uint8)
+        p = str(tmp_path / "t.jpg")
+        Image.fromarray(img).save(p, quality=95)
+        with open(p, "rb") as f:
+            nat = native.decode_jpeg_crop(f.read(), 224)
+        assert nat is not None and nat.shape == (224, 224, 3)
+        # PIL reference: shortest-side resize + center crop
+        with Image.open(p) as im:
+            im = im.convert("RGB")
+            w, h = im.size
+            if w < h:
+                nw, nh = 224, max(224, round(224 * h / w))
+            else:
+                nw, nh = max(224, round(224 * w / h)), 224
+            im = im.resize((nw, nh), Image.BILINEAR)
+            left, top = (nw - 224) // 2, (nh - 224) // 2
+            ref = np.asarray(im.crop((left, top, left + 224, top + 224)),
+                             np.uint8)
+        err = np.abs(nat.astype(np.float32) - ref.astype(np.float32)).mean()
+        assert err < 8.0, f"mean abs err {err}"
+
+    def test_loader_uses_native_for_jpg(self, tmp_path):
+        from macaw_llm_tpu.data.loader import load_image
+        from PIL import Image
+        img = np.full((300, 400, 3), 77, np.uint8)
+        p = str(tmp_path / "x.jpg")
+        Image.fromarray(img).save(p)
+        out = load_image(p, 224)
+        assert out.shape == (224, 224, 3)
+        assert abs(int(out.mean()) - 77) <= 2

@@ -1,0 +1,116 @@
+"""Greedy generation parity vs HF generate (tiny config, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from macaw_llm_tpu.config import LlamaConfig
+from macaw_llm_tpu.generate import generate, generate_from_ids
+from macaw_llm_tpu.models import llama
+from macaw_llm_tpu.utils.hf_import import import_llama
+
+CFG = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                  num_layers=2, num_heads=4, max_position_embeddings=256,
+                  eos_token_id=2, pad_token_id=0)
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM
+    hf_cfg = HFLlamaConfig(
+        vocab_size=CFG.vocab_size, hidden_size=CFG.hidden_size,
+        intermediate_size=CFG.intermediate_size,
+        num_hidden_layers=CFG.num_layers,
+        num_attention_heads=CFG.num_heads,
+        num_key_value_heads=CFG.num_heads,
+        max_position_embeddings=CFG.max_position_embeddings,
+        attention_bias=False, tie_word_embeddings=False,
+        pad_token_id=0, eos_token_id=2, bos_token_id=1,
+        attn_implementation="eager")
+    torch.manual_seed(0)
+    m = LlamaForCausalLM(hf_cfg)
+    m.eval()
+    return m
+
+
+@pytest.fixture(scope="module")
+def params(hf_model):
+    return import_llama(hf_model.state_dict(), CFG)
+
+
+def test_greedy_matches_hf_from_embeds(hf_model, params):
+    """Reference decode: generate(inputs_embeds=..., max_new_tokens=...,
+    eos=2, pad=...) (modeling.py:959)."""
+    rng = np.random.RandomState(0)
+    embeds = (rng.randn(2, 7, CFG.hidden_size) * 0.02).astype(np.float32)
+    with torch.no_grad():
+        expected = hf_model.generate(
+            inputs_embeds=torch.tensor(embeds), max_new_tokens=12,
+            do_sample=False, eos_token_id=2, pad_token_id=0).numpy()
+    got = generate(params, CFG, inputs_embeds=jnp.asarray(embeds),
+                   max_new_tokens=12, eos_id=2, pad_id=0)
+    # HF returns only generated ids when fed inputs_embeds
+    exp = expected[:, :12]
+    np.testing.assert_array_equal(np.asarray(got.tokens)[:, :exp.shape[1]],
+                                  exp)
+
+
+def test_greedy_matches_hf_from_ids(hf_model, params):
+    rng = np.random.RandomState(1)
+    ids = rng.randint(3, CFG.vocab_size, (2, 6))
+    with torch.no_grad():
+        expected = hf_model.generate(
+            input_ids=torch.tensor(ids), max_new_tokens=10,
+            do_sample=False, eos_token_id=2, pad_token_id=0).numpy()
+    got = generate_from_ids(params, CFG, input_ids=jnp.asarray(ids),
+                            max_new_tokens=10, eos_id=2, pad_id=0)
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  expected[:, 6:])
+
+
+def test_greedy_with_left_padding(hf_model, params):
+    """Padded batch decode with positions from mask cumsum
+    (reference modeling.py:630-636)."""
+    rng = np.random.RandomState(2)
+    ids = rng.randint(3, CFG.vocab_size, (2, 6))
+    ids[0, :2] = 0
+    mask = np.ones((2, 6), np.int64)
+    mask[0, :2] = 0
+    with torch.no_grad():
+        expected = hf_model.generate(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(mask), max_new_tokens=8,
+            do_sample=False, eos_token_id=2, pad_token_id=0).numpy()
+    got = generate_from_ids(params, CFG, input_ids=jnp.asarray(ids),
+                            attention_mask=jnp.asarray(mask),
+                            max_new_tokens=8, eos_id=2, pad_id=0)
+    np.testing.assert_array_equal(np.asarray(got.tokens), expected[:, 6:])
+
+
+def test_eos_early_stop(params):
+    """Rows that hit EOS emit PAD afterwards and the loop exits early."""
+    rng = np.random.RandomState(7)
+    embeds = jnp.asarray(rng.randn(1, 3, CFG.hidden_size) * 0.02,
+                         jnp.float32)
+    # find whatever greedy emits first, then declare it the EOS token
+    probe = generate(params, CFG, inputs_embeds=embeds, max_new_tokens=4,
+                     eos_id=-1, pad_id=0)
+    first = int(np.asarray(probe.tokens)[0, 0])
+    got = generate(params, CFG, inputs_embeds=embeds, max_new_tokens=16,
+                   eos_id=first, pad_id=0)
+    toks = np.asarray(got.tokens)
+    assert toks[0, 0] == first
+    assert (toks[0, 1:] == 0).all()
+    assert int(got.num_steps) == 1
+
+
+def test_sampling_runs_and_respects_vocab(params):
+    got = generate(params, CFG,
+                   inputs_embeds=jnp.zeros((2, 3, CFG.hidden_size)),
+                   max_new_tokens=8, temperature=0.8, top_k=10,
+                   rng=jax.random.PRNGKey(0))
+    toks = np.asarray(got.tokens)
+    assert ((toks >= 0) & (toks < CFG.vocab_size)).all()

@@ -1,0 +1,208 @@
+"""Distributed training tests on the simulated 8-device CPU mesh
+(SURVEY §4 plan item (c)): FSDP sharding, collectives, grad accumulation,
+encoder freezing, checkpoint save/resume."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from macaw_llm_tpu.config import (Config, IGNORE_ID, MeshConfig, TrainConfig,
+                                  tiny_model_config)
+from macaw_llm_tpu.models import fusion
+from macaw_llm_tpu.parallel.mesh import create_mesh
+from macaw_llm_tpu.parallel.sharding import infer_shardings, spec_for
+from macaw_llm_tpu.train.state import split_params
+from macaw_llm_tpu.train.trainer import Trainer, make_lr_schedule
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 simulated devices")
+
+
+def tiny_config() -> Config:
+    return Config(model=tiny_model_config(),
+                  mesh=MeshConfig(data=2, fsdp=4, tensor=1),
+                  train=TrainConfig(per_device_batch_size=1,
+                                    grad_accum_steps=2))
+
+
+def make_batch(cfg, accum=2, batch=8, seq=16):
+    rng = np.random.RandomState(0)
+    v = cfg.model.llm.vocab_size
+    ids = rng.randint(16, 32000, (accum, batch, seq))
+    ids[:, :, 0] = 1
+    labels = ids.copy()
+    labels[:, :, :4] = IGNORE_ID
+    vis = cfg.model.vision
+    return {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((accum, batch, seq), jnp.int32),
+        "labels": jnp.asarray(labels),
+        "images": jnp.zeros((accum, batch, 3, vis.image_size,
+                             vis.image_size)),
+        "audios": jnp.zeros((accum, batch, 80, 3000)),
+        "videos": jnp.zeros((accum, batch, cfg.model.fusion.n_frames, 3,
+                             vis.image_size, vis.image_size)),
+    }
+
+
+class TestShardingRules:
+    def test_llama_attn_sharded_on_fsdp(self):
+        cfg = tiny_config()
+        mesh = create_mesh(cfg.mesh)
+        # hidden 64 divisible by fsdp 4 -> spec keeps fsdp on dim 1
+        spec = spec_for("llm/layers/attn/wq", (2, 64, 64), mesh)
+        assert spec == jax.sharding.PartitionSpec(None, "fsdp")
+
+    def test_indivisible_dims_fall_back(self):
+        cfg = tiny_config()
+        mesh = create_mesh(cfg.mesh)
+        spec = spec_for("llm/embed_tokens", (32007, 64), mesh)
+        # vocab 32007 on tensor(1): dropped; hidden 64 % 4 == 0 -> fsdp kept
+        assert spec == jax.sharding.PartitionSpec(None, "fsdp")
+
+    def test_norms_replicated(self):
+        cfg = tiny_config()
+        mesh = create_mesh(cfg.mesh)
+        assert spec_for("llm/norm", (64,), mesh) == \
+            jax.sharding.PartitionSpec()
+
+
+class TestTrainStep:
+    """train_step donates its input state (production memory behavior), so
+    each stepping test builds a fresh state from the shared params."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = tiny_config()
+        mesh = create_mesh(cfg.mesh)
+        params = fusion.init_params(jax.random.PRNGKey(0), cfg.model)
+        trainer = Trainer(cfg, mesh, total_steps=100)
+        return cfg, mesh, trainer, params
+
+    @pytest.fixture()
+    def state(self, setup):
+        # fresh params per state: init_state's device_put may alias the
+        # input buffers, and train_step donates them
+        cfg, _, trainer, _ = setup
+        params = fusion.init_params(jax.random.PRNGKey(0), cfg.model)
+        return trainer.init_state(params)
+
+    def test_params_actually_sharded(self, setup, state):
+        cfg, mesh, trainer, _ = setup
+        wq = state.trainable["llm"]["layers"]["attn"]["wq"]
+        assert len(wq.sharding.device_set) == 8
+        # fsdp axis of size 4 shards dim1: per-device shard is 64/4
+        shard_shape = wq.sharding.shard_shape(wq.shape)
+        assert shard_shape[1] == wq.shape[1] // 4
+
+    def test_optimizer_state_sharded_like_params(self, setup, state):
+        cfg, mesh, trainer, _ = setup
+        mu = state.opt_state[1][0].mu["llm"]["layers"]["attn"]["wq"]
+        wq = state.trainable["llm"]["layers"]["attn"]["wq"]
+        assert mu.sharding.shard_shape(mu.shape) == \
+            wq.sharding.shard_shape(wq.shape)
+
+    def test_frozen_split(self, setup, state):
+        cfg, mesh, trainer, _ = setup
+        assert "image_encoder" in state.frozen
+        assert "audio_encoder" in state.frozen
+        assert "llm" in state.trainable
+        assert "fusion" in state.trainable
+
+    def test_train_step_runs_and_descends(self, setup, state):
+        cfg, mesh, trainer, _ = setup
+        batch = make_batch(cfg)
+        state1, m1 = trainer.train_step(state, batch)
+        losses = [float(m1["loss"])]
+        st = state1
+        for _ in range(4):
+            st, m = trainer.train_step(st, make_batch(cfg))
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses  # memorizes the fixed batch
+        assert int(st.step) == 5
+
+    def test_frozen_params_unchanged(self, setup, state):
+        cfg, mesh, trainer, _ = setup
+        batch = make_batch(cfg)
+        # snapshot before the step: the input state is donated
+        before = np.asarray(jax.device_get(jax.tree.leaves(state.frozen)[0]))
+        state1, _ = trainer.train_step(state, batch)
+        after = np.asarray(jax.device_get(jax.tree.leaves(state1.frozen)[0]))
+        np.testing.assert_array_equal(before, after)
+
+    def test_grad_accum_equals_big_batch(self):
+        """accum over [2, B] microbatches == one [1, 2B] batch (same data).
+
+        Dropout must be off: the per-microbatch RNG split otherwise makes
+        the two step variants legitimately differ."""
+        import dataclasses
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, fusion=dataclasses.replace(
+                    cfg.model.fusion, align_dropout=0.0)))
+        mesh = create_mesh(cfg.mesh)
+        params = fusion.init_params(jax.random.PRNGKey(1), cfg.model)
+        trainer = Trainer(cfg, mesh, total_steps=100)
+
+        batch2 = make_batch(cfg, accum=2, batch=8)
+        batch1 = jax.tree.map(
+            lambda x: x.reshape((1, 16) + x.shape[2:]), batch2)
+
+        s_a = trainer.init_state(params, rng=jax.random.PRNGKey(42))
+        s_b = trainer.init_state(params, rng=jax.random.PRNGKey(42))
+        sa, ma = trainer.train_step(s_a, batch2)
+        sb, mb = trainer.train_step(s_b, batch1)
+        # fp32 reduction order differs (scan-of-means vs one mean)
+        np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                                   rtol=2e-4)
+        wa = np.asarray(
+            jax.device_get(sa.trainable["fusion"]["to_hidden"]["image"]["w"]))
+        wb = np.asarray(
+            jax.device_get(sb.trainable["fusion"]["to_hidden"]["image"]["w"]))
+        np.testing.assert_allclose(wa, wb, rtol=1e-4, atol=1e-7)
+
+
+class TestLRSchedule:
+    def test_warmup_cosine(self):
+        tcfg = TrainConfig(learning_rate=3e-5, warmup_ratio=0.03)
+        sched = make_lr_schedule(tcfg, 1000)
+        assert float(sched(0)) == 0.0
+        assert abs(float(sched(30)) - 3e-5) / 3e-5 < 1e-6
+        assert float(sched(1000)) < 1e-9
+
+
+class TestCheckpoint:
+    def test_save_restore_resume(self):
+        from macaw_llm_tpu.train.checkpoint import CheckpointManager
+        cfg = tiny_config()
+        mesh = create_mesh(cfg.mesh)
+        params = fusion.init_params(jax.random.PRNGKey(2), cfg.model)
+        trainer = Trainer(cfg, mesh, total_steps=10)
+        state = trainer.init_state(params)
+        state, _ = trainer.train_step(state, make_batch(cfg))
+
+        with tempfile.TemporaryDirectory() as d:
+            mgr = CheckpointManager(d, save_steps=1)
+            assert mgr.save(state, cfg, force=True)
+            mgr.wait()
+            assert mgr.latest_step() == 1
+
+            restored = mgr.restore(state)
+            assert int(restored.step) == 1
+            a = jax.device_get(
+                state.trainable["fusion"]["to_hidden"]["image"]["w"])
+            b = jax.device_get(
+                restored.trainable["fusion"]["to_hidden"]["image"]["w"])
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+            # resumed training continues
+            state2, m = trainer.train_step(restored, make_batch(cfg))
+            assert int(state2.step) == 2
+            assert np.isfinite(float(m["loss"]))
+            mgr.close()
