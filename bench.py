@@ -31,6 +31,11 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--seq", type=int, default=256)
+    p.add_argument("--mode", default="prefill",
+                   choices=["prefill", "decode"],
+                   help="prefill: fused multimodal prefill throughput; "
+                        "decode: greedy generation tokens/sec")
+    p.add_argument("--max-new-tokens", type=int, default=128)
     args = p.parse_args()
 
     import jax
@@ -69,6 +74,49 @@ def main():
             rng.randint(0, 255, (b, cfg.fusion.n_frames, vis.image_size,
                                  vis.image_size, 3)), jnp.uint8),
     }
+
+    if args.mode == "decode":
+        from macaw_llm_tpu.generate import generate
+
+        @jax.jit
+        def fuse(params, batch):
+            return fusion.prepare_inputs(
+                params, cfg, input_ids=batch["input_ids"],
+                images=batch["images"], audios=batch["audios"],
+                videos=batch["videos"],
+                attention_mask=batch["attention_mask"])
+
+        fused = fuse(params, batch)
+
+        def run_decode():
+            out = generate(params["llm"], cfg.llm,
+                           inputs_embeds=fused.inputs_embeds,
+                           attention_mask=fused.attention_mask,
+                           max_new_tokens=args.max_new_tokens,
+                           eos_id=-1)  # no early stop: measure full budget
+            return int(np.asarray(out.tokens)[0, -1])  # forces readback
+
+        for _ in range(args.warmup):
+            run_decode()
+        times = []
+        for _ in range(args.steps):
+            t0 = time.perf_counter()
+            run_decode()
+            times.append(time.perf_counter() - t0)
+        p50 = statistics.median(times)
+        toks_per_sec = b * args.max_new_tokens / p50
+        result = {
+            "metric": "greedy decode tokens/sec/chip "
+                      f"(profile={args.profile}, batch={b}, "
+                      f"prefix={s + cfg.total_prefix_len}, "
+                      f"new={args.max_new_tokens}, "
+                      f"device={dev.device_kind})",
+            "value": round(toks_per_sec, 2),
+            "unit": "tokens/sec/chip",
+            "vs_baseline": 0.0,
+        }
+        print(json.dumps(result))
+        return result
 
     @jax.jit
     def prefill(params, batch):

@@ -255,6 +255,10 @@ class TrainConfig:
     seed: int = 1
     freeze_encoders: bool = True     # working flag (reference's is broken,
                                      # run_clm_llms.py:393 — quirk #1)
+    lora_rank: int = 0               # 0 = full fine-tune; >0 enables LoRA
+                                     # (reference scaffolds r=8 but leaves it
+                                     # disabled, run_clm_llms.py:498-508)
+    lora_alpha: float = 16.0
     save_steps: int = 5000
     save_total_limit: int = 1
     log_steps: int = 10

@@ -366,7 +366,8 @@ def forward(params: dict, cfg: ModelConfig, *,
             labels: Optional[jnp.ndarray] = None,
             dropout_rng: Optional[jax.Array] = None,
             video_mode: str = "long",
-            boundary_ids: Optional[dict] = None):
+            boundary_ids: Optional[dict] = None,
+            lora_scale: float = 1.0):
     """Training forward (reference MM_LLMs.forward, modeling.py:941-963):
     fuse, run the LLM over inputs_embeds, return (loss, logits)."""
     batch = prepare_inputs(params, cfg, input_ids=input_ids, images=images,
@@ -377,7 +378,8 @@ def forward(params: dict, cfg: ModelConfig, *,
     logits, _ = llama.forward(
         params["llm"], cfg.llm, inputs_embeds=batch.inputs_embeds,
         attention_mask=batch.attention_mask, remat=cfg.remat,
-        use_flash=cfg.use_flash, dtype=batch.inputs_embeds.dtype)
+        use_flash=cfg.use_flash, lora_scale=lora_scale,
+        dtype=batch.inputs_embeds.dtype)
     loss = None
     if batch.labels is not None:
         loss = llama.clm_loss(logits, batch.labels)

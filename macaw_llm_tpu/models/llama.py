@@ -97,7 +97,9 @@ def _attention(cfg: LlamaConfig, p: dict, h: jnp.ndarray,
                kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
                cache_pos: Optional[jnp.ndarray],
                flash_bias: Optional[jnp.ndarray] = None,
-               use_flash: bool = False):
+               use_flash: bool = False,
+               lora: Optional[dict] = None,
+               lora_scale: float = 1.0):
     """One attention block. h: [B, S, H]. Returns (out, (k_new, v_new)).
 
     use_flash routes the no-cache (prefill/training) path through the
@@ -106,9 +108,16 @@ def _attention(cfg: LlamaConfig, p: dict, h: jnp.ndarray,
     b, s, _ = h.shape
     n, nkv, d = cfg.num_heads, cfg.kv_heads, cfg.head_dim
     compute = h.dtype
-    q = (h @ p["wq"].astype(compute)).reshape(b, s, n, d)
-    k = (h @ p["wk"].astype(compute)).reshape(b, s, nkv, d)
-    v = (h @ p["wv"].astype(compute)).reshape(b, s, nkv, d)
+    q2 = h @ p["wq"].astype(compute)
+    k2 = h @ p["wk"].astype(compute)
+    v2 = h @ p["wv"].astype(compute)
+    if lora is not None:
+        from macaw_llm_tpu.train.lora import lora_delta
+        q2 = q2 + lora_delta(h, lora["qa"], lora["qb"], lora_scale)
+        v2 = v2 + lora_delta(h, lora["va"], lora["vb"], lora_scale)
+    q = q2.reshape(b, s, n, d)
+    k = k2.reshape(b, s, nkv, d)
+    v = v2.reshape(b, s, nkv, d)
     q, k = apply_rope(q, k, cos, sin)
 
     if kv is not None:
@@ -148,12 +157,13 @@ def _mlp(p: dict, h: jnp.ndarray) -> jnp.ndarray:
 
 def _decoder_layer(cfg: LlamaConfig, lp: dict, h: jnp.ndarray,
                    mask, cos, sin, kv, cache_pos,
-                   flash_bias=None, use_flash=False):
+                   flash_bias=None, use_flash=False, lora_scale=1.0):
     """Pre-norm attn + residual, pre-norm SwiGLU + residual
     (reference LlamaDecoderLayer, modeling.py:234-299)."""
     attn_out, new_kv = _attention(
         cfg, lp["attn"], rms_norm(h, lp["input_norm"], cfg.rms_norm_eps),
-        mask, cos, sin, kv, cache_pos, flash_bias, use_flash)
+        mask, cos, sin, kv, cache_pos, flash_bias, use_flash,
+        lp.get("lora"), lora_scale)
     h = h + attn_out
     h = h + _mlp(lp["mlp"], rms_norm(h, lp["post_norm"], cfg.rms_norm_eps))
     return h, new_kv
@@ -171,7 +181,8 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
                    positions: Optional[jnp.ndarray] = None,
                    kv_cache: Optional[KVCache] = None,
                    remat: bool = False,
-                   use_flash: bool = False) -> Tuple[jnp.ndarray,
+                   use_flash: bool = False,
+                   lora_scale: float = 1.0) -> Tuple[jnp.ndarray,
                                                      Optional[KVCache]]:
     """Decoder stack over ``inputs_embeds`` [B, S, H].
 
@@ -213,7 +224,11 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
                                    ).astype(jnp.float32)
         mask = None  # flash kernel applies causal + padding itself
 
-    layer_fn = partial(_decoder_layer, cfg)
+    # bind static flags (bools/floats) BEFORE jax.checkpoint — remat would
+    # otherwise trace them and `if use_flash` would fail on a tracer
+    layer_fn = partial(_decoder_layer, cfg,
+                       use_flash=use_flash and kv_cache is None,
+                       lora_scale=lora_scale)
     if remat:
         layer_fn = jax.checkpoint(layer_fn,
                                   policy=jax.checkpoint_policies.nothing_saveable)
@@ -221,11 +236,11 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
     def scan_body(h, xs):
         if kv_cache is not None:
             lp, (ck, cv) = xs
-            h, (nk, nv) = layer_fn(lp, h, mask, cos, sin, (ck, cv), cache_pos)
+            h, (nk, nv) = layer_fn(lp, h, mask, cos, sin, (ck, cv),
+                                   cache_pos, None)
             return h, (nk, nv)
         lp = xs
-        h, _ = layer_fn(lp, h, mask, cos, sin, None, None, flash_bias,
-                        use_flash)
+        h, _ = layer_fn(lp, h, mask, cos, sin, None, None, flash_bias)
         return h, None
 
     h = inputs_embeds
@@ -255,6 +270,7 @@ def forward(params: dict, cfg: LlamaConfig,
             kv_cache: Optional[KVCache] = None,
             remat: bool = False,
             use_flash: bool = False,
+            lora_scale: float = 1.0,
             dtype=jnp.float32):
     """Full CLM forward -> (logits [B,S,V] fp32, new_kv_cache).
 
@@ -265,7 +281,8 @@ def forward(params: dict, cfg: LlamaConfig,
     if inputs_embeds is None:
         inputs_embeds = embed(params, input_ids, dtype)
     h, new_cache = forward_hidden(params, cfg, inputs_embeds, attention_mask,
-                                  positions, kv_cache, remat, use_flash)
+                                  positions, kv_cache, remat, use_flash,
+                                  lora_scale)
     return logits_from_hidden(params, h), new_cache
 
 

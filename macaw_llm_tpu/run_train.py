@@ -58,6 +58,8 @@ def parse_args(argv=None):
                    help="use the tiny test model config")
     p.add_argument("--no-media", action="store_true",
                    help="text-only batches (no image/audio/video columns)")
+    p.add_argument("--lora-rank", type=int, default=None,
+                   help="enable LoRA fine-tuning at this rank")
     return p.parse_args(argv)
 
 
@@ -118,9 +120,13 @@ def main(argv=None):
             cfg = Config.from_json(f.read())
     else:
         cfg = Config()
+    import dataclasses
     if args.tiny:
-        import dataclasses
         cfg = dataclasses.replace(cfg, model=tiny_model_config())
+    if args.lora_rank is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           lora_rank=args.lora_rank))
     cfg.model.validate()
 
     mesh = create_mesh(cfg.mesh)
@@ -156,6 +162,11 @@ def main(argv=None):
 
     # ---- model / trainer / resume ----
     params = load_pretrained(cfg, args)
+    if cfg.train.lora_rank > 0:
+        from macaw_llm_tpu.train.lora import init_lora
+        params["llm"]["layers"]["lora"] = init_lora(
+            jax.random.PRNGKey(cfg.train.seed + 1), cfg.model.llm,
+            cfg.train.lora_rank)
     trainer = Trainer(cfg, mesh, total_steps)
     state = trainer.init_state(params)
     del params

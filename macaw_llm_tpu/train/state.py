@@ -26,22 +26,43 @@ class TrainState(NamedTuple):
 FROZEN_PREFIXES = ("image_encoder", "video_encoder", "audio_encoder")
 
 
-def split_params(params: dict, freeze_encoders: bool = True
-                 ) -> Tuple[dict, dict]:
+def split_params(params: dict, freeze_encoders: bool = True,
+                 lora: bool = False) -> Tuple[dict, dict]:
     """Split the fusion-model param dict into (trainable, frozen).
 
     Matches the reference's *intent* (freeze any '*encoder*' module,
     run_clm_llms.py:390-396; actual behavior freezes unconditionally —
-    here the flag works)."""
-    if not freeze_encoders:
+    here the flag works). With ``lora`` the LLM base is frozen too and
+    only the adapter subtree (llm/layers/lora) + fusion modules train.
+    """
+    if not freeze_encoders and not lora:
         return params, {}
     trainable = {k: v for k, v in params.items()
                  if k not in FROZEN_PREFIXES}
     frozen = {k: v for k, v in params.items() if k in FROZEN_PREFIXES}
+    if not freeze_encoders:
+        trainable = dict(trainable)
+        trainable.update(frozen)
+        frozen = {}
+    if lora:
+        llm = trainable.pop("llm")
+        layers = dict(llm["layers"])
+        lora_tree = layers.pop("lora")
+        frozen = dict(frozen)
+        frozen["llm"] = {**llm, "layers": layers}
+        trainable["llm"] = {"layers": {"lora": lora_tree}}
     return trainable, frozen
 
 
 def merge_params(trainable: dict, frozen: dict) -> dict:
-    out = dict(trainable)
-    out.update(frozen)
-    return out
+    """Deep merge (dict-of-dict leaves win from either side; disjoint by
+    construction except the llm/layers split under LoRA)."""
+    def _merge(a, b):
+        if isinstance(a, dict) and isinstance(b, dict):
+            out = dict(a)
+            for k, v in b.items():
+                out[k] = _merge(a[k], v) if k in a else v
+            return out
+        return a if b is None else b
+
+    return _merge(dict(trainable), frozen)

@@ -86,7 +86,8 @@ def create_train_state(params: dict, cfg: Config, total_steps: int,
 
 
 def _loss_fn(trainable: dict, frozen: dict, mcfg: ModelConfig,
-             batch: Dict[str, jnp.ndarray], dropout_rng) -> jnp.ndarray:
+             batch: Dict[str, jnp.ndarray], dropout_rng,
+             lora_scale: float = 1.0) -> jnp.ndarray:
     params = merge_params(trainable, frozen)
     loss, _ = fusion.forward(
         params, mcfg,
@@ -96,13 +97,15 @@ def _loss_fn(trainable: dict, frozen: dict, mcfg: ModelConfig,
         videos=batch.get("videos"),
         attention_mask=batch.get("attention_mask"),
         labels=batch["labels"],
-        dropout_rng=dropout_rng)
+        dropout_rng=dropout_rng,
+        lora_scale=lora_scale)
     return loss
 
 
 def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                mcfg: ModelConfig, tx: optax.GradientTransformation,
-               lr_schedule) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+               lr_schedule, lora_scale: float = 1.0
+               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimizer step over a batch with a leading grad-accum axis
     [A, B, ...] (A=1 for no accumulation)."""
     rng, step_rng = jax.random.split(state.rng)
@@ -113,7 +116,8 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
     def micro(carry, xs):
         loss_sum, grad_sum = carry
         mb, mrng = xs
-        loss, grads = grad_fn(state.trainable, state.frozen, mcfg, mb, mrng)
+        loss, grads = grad_fn(state.trainable, state.frozen, mcfg, mb, mrng,
+                              lora_scale)
         return (loss_sum + loss,
                 jax.tree.map(jnp.add, grad_sum, grads)), None
 
@@ -155,8 +159,9 @@ class Trainer:
                    rng: Optional[jax.Array] = None) -> TrainState:
         """Create the train state ON the mesh: params are placed per the
         partition rules; optimizer state inherits via GSPMD propagation."""
-        trainable, frozen = split_params(params,
-                                         self.cfg.train.freeze_encoders)
+        trainable, frozen = split_params(
+            params, self.cfg.train.freeze_encoders,
+            lora=self.cfg.train.lora_rank > 0)
         t_shard = infer_shardings(trainable, self.mesh)
         f_shard = infer_shardings(frozen, self.mesh)
         # jitted identity instead of device_put: device_put may alias the
@@ -188,11 +193,14 @@ class Trainer:
             mcfg = self.cfg.model
             tx, sched = self.tx, self.lr_schedule
 
+            lora_scale = (self.cfg.train.lora_alpha
+                          / max(self.cfg.train.lora_rank, 1))
+
             @partial(jax.jit, donate_argnums=(0,))
             def _step(state, batch):
                 batch = jax.lax.with_sharding_constraint(
                     batch, batch_sharding_tree(batch, self.mesh))
-                return train_step(state, batch, mcfg, tx, sched)
+                return train_step(state, batch, mcfg, tx, sched, lora_scale)
 
             self._step = _step
         return self._step

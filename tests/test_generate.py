@@ -111,6 +111,6 @@ def test_sampling_runs_and_respects_vocab(params):
     got = generate(params, CFG,
                    inputs_embeds=jnp.zeros((2, 3, CFG.hidden_size)),
                    max_new_tokens=8, temperature=0.8, top_k=10,
-                   rng=jax.random.PRNGKey(0))
+                   eos_id=2, pad_id=0, rng=jax.random.PRNGKey(0))
     toks = np.asarray(got.tokens)
     assert ((toks >= 0) & (toks < CFG.vocab_size)).all()
