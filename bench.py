@@ -36,6 +36,8 @@ def main():
                    help="prefill: fused multimodal prefill throughput; "
                         "decode: greedy generation tokens/sec")
     p.add_argument("--max-new-tokens", type=int, default=128)
+    p.add_argument("--quantize", default=None, choices=[None, "int8"],
+                   help="weight-only quantization for the decode path")
     args = p.parse_args()
 
     import jax
@@ -77,6 +79,11 @@ def main():
 
     if args.mode == "decode":
         from macaw_llm_tpu.generate import generate
+        llm_params = params["llm"]
+        if args.quantize == "int8":
+            from macaw_llm_tpu.utils.quantize import quantize_llama
+            llm_params = jax.jit(quantize_llama)(params["llm"])
+            jax.block_until_ready(llm_params)
 
         @jax.jit
         def fuse(params, batch):
@@ -89,7 +96,7 @@ def main():
         fused = fuse(params, batch)
 
         def run_decode():
-            out = generate(params["llm"], cfg.llm,
+            out = generate(llm_params, cfg.llm,
                            inputs_embeds=fused.inputs_embeds,
                            attention_mask=fused.attention_mask,
                            max_new_tokens=args.max_new_tokens,
@@ -108,6 +115,7 @@ def main():
         result = {
             "metric": "greedy decode tokens/sec/chip "
                       f"(profile={args.profile}, batch={b}, "
+                      f"quant={args.quantize or 'bf16'}, "
                       f"prefix={s + cfg.total_prefix_len}, "
                       f"new={args.max_new_tokens}, "
                       f"device={dev.device_kind})",

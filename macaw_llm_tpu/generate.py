@@ -120,3 +120,116 @@ def generate_from_ids(params: dict, cfg: LlamaConfig, *,
     embeds = llama.embed(params, input_ids)
     return generate(params, cfg, inputs_embeds=embeds,
                     attention_mask=attention_mask, **kw)
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_beams", "max_new_tokens",
+                                   "eos_id", "pad_id", "length_penalty"))
+def beam_search(params: dict, cfg: LlamaConfig, *,
+                inputs_embeds: jnp.ndarray,
+                attention_mask: Optional[jnp.ndarray] = None,
+                num_beams: int = 4,
+                max_new_tokens: int = 128,
+                eos_id: int = EOS_ID,
+                pad_id: int = PAD_ID,
+                length_penalty: float = 1.0) -> GenerateResult:
+    """Beam search from fused embeddings (the reference supports this via
+    HF GenerationMixin + _reorder_cache, modeling.py:654-659; cache
+    reordering here is a gather over the beam-expanded batch axis).
+
+    Returns the best beam per example, PAD after EOS.
+    """
+    b, s, h = inputs_embeds.shape
+    total = s + max_new_tokens
+    dtype = inputs_embeds.dtype
+    bb = b * num_beams
+    neg = jnp.finfo(jnp.float32).min
+
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, s), jnp.int32)
+    full_mask = jnp.concatenate(
+        [attention_mask.astype(jnp.int32),
+         jnp.ones((b, max_new_tokens), jnp.int32)], axis=1)
+    full_mask_bb = jnp.repeat(full_mask, num_beams, axis=0)
+    prompt_pos = jnp.maximum(
+        jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1, 0)
+    prompt_len = attention_mask.astype(jnp.int32).sum(axis=1)   # [B]
+    prompt_len_bb = jnp.repeat(prompt_len, num_beams, axis=0)
+
+    # prefill once per example, then beam-expand the cache
+    cache = llama.KVCache.create(cfg, b, total, dtype)
+    logits, cache = llama.forward(
+        params, cfg, inputs_embeds=inputs_embeds,
+        attention_mask=full_mask, positions=prompt_pos, kv_cache=cache,
+        dtype=dtype)
+    cache = llama.KVCache(
+        k=jnp.repeat(cache.k, num_beams, axis=1),
+        v=jnp.repeat(cache.v, num_beams, axis=1),
+        length=cache.length)
+
+    logprobs0 = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), -1)
+    top0 = jax.lax.top_k(logprobs0, num_beams)            # ([B,k], [B,k])
+    scores = top0[0]                                      # [B, beams]
+    tok0 = top0[1].astype(jnp.int32)                      # [B, beams]
+
+    out0 = jnp.full((b, num_beams, max_new_tokens), pad_id, jnp.int32)
+    out0 = out0.at[:, :, 0].set(tok0)
+    finished0 = tok0 == eos_id
+
+    class BeamState(NamedTuple):
+        cache: llama.KVCache
+        tok: jnp.ndarray        # [B, beams]
+        out: jnp.ndarray        # [B, beams, max_new]
+        scores: jnp.ndarray     # [B, beams]
+        finished: jnp.ndarray   # [B, beams] bool
+        step: jnp.ndarray
+
+    state = BeamState(cache=cache, tok=tok0, out=out0, scores=scores,
+                      finished=finished0, step=jnp.ones((), jnp.int32))
+
+    vocab = params["lm_head"].shape[-1] if not isinstance(
+        params["lm_head"], dict) else params["lm_head"]["q"].shape[-1]
+
+    def cond(st: BeamState):
+        return (st.step < max_new_tokens) & (~st.finished.all())
+
+    def body(st: BeamState):
+        tok_flat = st.tok.reshape(bb)
+        emb = params["embed_tokens"].astype(dtype)[tok_flat][:, None, :]
+        pos = (prompt_len_bb + st.step - 1)[:, None]
+        logits, cache = llama.forward(
+            params, cfg, inputs_embeds=emb, attention_mask=full_mask_bb,
+            positions=pos, kv_cache=st.cache, dtype=dtype)
+        lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), -1)
+        lp = lp.reshape(b, num_beams, vocab)
+        # finished beams may only extend with PAD at no cost
+        pad_only = jnp.full((vocab,), neg).at[pad_id].set(0.0)
+        lp = jnp.where(st.finished[:, :, None], pad_only[None, None, :], lp)
+        cand = st.scores[:, :, None] + lp                  # [B, beams, V]
+        flat = cand.reshape(b, num_beams * vocab)
+        new_scores, idx = jax.lax.top_k(flat, num_beams)   # [B, beams]
+        beam_idx = idx // vocab                            # [B, beams]
+        tok_idx = (idx % vocab).astype(jnp.int32)
+
+        # reorder everything by selected parent beam (_reorder_cache)
+        batch_offset = jnp.arange(b)[:, None] * num_beams
+        flat_parent = (batch_offset + beam_idx).reshape(bb)  # [B*beams]
+        cache = llama.KVCache(k=cache.k[:, flat_parent],
+                              v=cache.v[:, flat_parent],
+                              length=cache.length)
+        out = jnp.take_along_axis(st.out, beam_idx[:, :, None], axis=1)
+        finished = jnp.take_along_axis(st.finished, beam_idx, axis=1)
+        tok_idx = jnp.where(finished, pad_id, tok_idx)
+        out = out.at[:, :, st.step].set(tok_idx)
+        finished = finished | (tok_idx == eos_id)
+        return BeamState(cache=cache, tok=tok_idx, out=out,
+                         scores=new_scores, finished=finished,
+                         step=st.step + 1)
+
+    final = jax.lax.while_loop(cond, body, state)
+    # best beam by length-penalized score
+    lengths = jnp.sum((final.out != pad_id).astype(jnp.float32), axis=-1)
+    norm = final.scores / jnp.maximum(lengths, 1.0) ** length_penalty
+    best = jnp.argmax(norm, axis=1)                        # [B]
+    tokens = jnp.take_along_axis(final.out, best[:, None, None],
+                                 axis=1)[:, 0]
+    return GenerateResult(tokens=tokens, num_steps=final.step)

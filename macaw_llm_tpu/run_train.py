@@ -19,6 +19,7 @@ import argparse
 import json
 import logging
 import os
+import signal
 
 import jax
 import numpy as np
@@ -182,6 +183,18 @@ def main(argv=None):
         os.path.join(args.output_dir, "metrics.jsonl"),
         log_every=cfg.train.log_steps)
 
+    # preemption handling (SURVEY §5.3 — the reference has none): on
+    # SIGTERM/SIGINT finish the current step, checkpoint, and exit cleanly
+    preempted = {"flag": False}
+
+    def _on_signal(signum, frame):
+        logger.warning("signal %s received — checkpointing and exiting",
+                       signum)
+        preempted["flag"] = True
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
     # ---- loop ----
     tokens_per_batch = global_batch * cfg.data.max_text_len
     start_step = int(state.step)
@@ -200,6 +213,13 @@ def main(argv=None):
                             examples_per_batch=global_batch,
                             n_chips=n_devices)
             ckpt.save(state, cfg)
+            if preempted["flag"]:
+                ckpt.save(state, cfg, force=True)
+                ckpt.wait()
+                logger.warning("checkpointed at step %d after preemption "
+                               "signal; resume with the same command", step)
+                done = True
+                break
             if step >= total_steps:
                 done = True
                 break

@@ -114,3 +114,32 @@ def test_sampling_runs_and_respects_vocab(params):
                    eos_id=2, pad_id=0, rng=jax.random.PRNGKey(0))
     toks = np.asarray(got.tokens)
     assert ((toks >= 0) & (toks < CFG.vocab_size)).all()
+
+
+def test_beam_search_matches_hf(hf_model, params):
+    from macaw_llm_tpu.generate import beam_search
+    rng = np.random.RandomState(3)
+    embeds = (rng.randn(2, 5, CFG.hidden_size) * 0.02).astype(np.float32)
+    with torch.no_grad():
+        expected = hf_model.generate(
+            inputs_embeds=torch.tensor(embeds), max_new_tokens=10,
+            num_beams=3, do_sample=False, eos_token_id=2,
+            pad_token_id=0, early_stopping=True,
+            length_penalty=1.0).numpy()
+    got = beam_search(params, CFG, inputs_embeds=jnp.asarray(embeds),
+                      num_beams=3, max_new_tokens=10, eos_id=2, pad_id=0)
+    np.testing.assert_array_equal(
+        np.asarray(got.tokens)[:, :expected.shape[1]], expected[:, :10])
+
+
+def test_beam_one_equals_greedy(params):
+    from macaw_llm_tpu.generate import beam_search
+    rng = np.random.RandomState(4)
+    embeds = jnp.asarray(rng.randn(2, 4, CFG.hidden_size) * 0.02,
+                         jnp.float32)
+    g = generate(params, CFG, inputs_embeds=embeds, max_new_tokens=8,
+                 eos_id=2, pad_id=0)
+    bm = beam_search(params, CFG, inputs_embeds=embeds, num_beams=1,
+                     max_new_tokens=8, eos_id=2, pad_id=0)
+    np.testing.assert_array_equal(np.asarray(g.tokens),
+                                  np.asarray(bm.tokens))
