@@ -87,6 +87,25 @@ def pad_or_trim(audio: jnp.ndarray, length: int = N_SAMPLES) -> jnp.ndarray:
     return audio
 
 
+@lru_cache(maxsize=2)
+def _dft_basis(n_fft: int = N_FFT):
+    """Windowed real-DFT basis as a conv kernel [n_fft, 1, 2*(n_fft//2+1)].
+
+    The STFT becomes ONE strided convolution (frame extraction + window +
+    DFT fused) — a dense MXU matmul instead of a 3001-row gather.
+    Numerically identical to rfft(frames * hann) in fp32.
+    """
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * n * k / n_fft
+    window = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft))
+    basis = np.concatenate([np.cos(ang), np.sin(ang)], axis=1)  # [400, 402]
+    basis = basis * window[:, None]
+    # return numpy (NOT jnp): this is lru_cached and must never capture a
+    # tracer; callers convert per-trace
+    return basis.astype(np.float32).reshape(n_fft, 1, -1)
+
+
 @partial(jax.jit, static_argnames=("n_mels",))
 def log_mel_spectrogram(audio: jnp.ndarray,
                         n_mels: int = N_MELS) -> jnp.ndarray:
@@ -99,15 +118,15 @@ def log_mel_spectrogram(audio: jnp.ndarray,
     pad = N_FFT // 2
     x = jnp.pad(audio, [(0, 0), (pad, pad)], mode="reflect")
 
-    n_frames = n // HOP_LENGTH + 1                     # 3001
-    idx = (jnp.arange(n_frames)[:, None] * HOP_LENGTH
-           + jnp.arange(N_FFT)[None, :])               # [T, 400]
-    frames = x[:, idx]                                 # [B, T, 400]
-
-    # periodic Hann (torch.hann_window default)
-    window = 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * jnp.arange(N_FFT) / N_FFT))
-    spec = jnp.fft.rfft(frames * window, axis=-1)      # [B, T, 201]
-    magnitudes = jnp.abs(spec[:, :-1, :]) ** 2         # drop last frame
+    # conv-DFT STFT: one strided conv over the windowed cos/sin basis
+    basis = jnp.asarray(_dft_basis(N_FFT))             # [400, 1, 402]
+    spec = jax.lax.conv_general_dilated(
+        x[:, :, None], basis, window_strides=(HOP_LENGTH,),
+        padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32)            # [B, 3001, 402]
+    nb = N_FFT // 2 + 1
+    re, im = spec[:, :-1, :nb], spec[:, :-1, nb:]      # drop last frame
+    magnitudes = re * re + im * im
 
     filters = jnp.asarray(mel_filterbank(n_mels=n_mels))  # [80, 201]
     mel_spec = jnp.einsum("mf,btf->bmt", filters, magnitudes)
