@@ -38,6 +38,8 @@ def main():
     p.add_argument("--max-new-tokens", type=int, default=128)
     p.add_argument("--quantize", default=None, choices=[None, "int8"],
                    help="weight-only quantization for the decode path")
+    p.add_argument("--trace", default=None,
+                   help="capture an xprof trace of the timed region to DIR")
     args = p.parse_args()
 
     import jax
@@ -149,6 +151,10 @@ def main():
         run()
 
     times = []
+    if args.trace:
+        from macaw_llm_tpu.utils.profiling import trace
+        with trace(args.trace):
+            run()
     for _ in range(args.steps):
         t0 = time.perf_counter()
         run()

@@ -38,7 +38,8 @@ from macaw_llm_tpu.config import (AUDIO_END, AUDIO_START, IGNORE_ID,
                                   VIDEO_END, VIDEO_START)
 from macaw_llm_tpu.models import clip, llama, whisper
 from macaw_llm_tpu.ops import torch_mha_apply, torch_mha_init
-from macaw_llm_tpu.ops.attention import torch_mha_apply_shared_kv
+from macaw_llm_tpu.ops.attention import (torch_mha_apply_shared_kv,
+                                          torch_mha_apply_shared_kv_flash)
 
 
 class FusedBatch(NamedTuple):
@@ -220,6 +221,11 @@ def _align(p: dict, heads: int, feats: jnp.ndarray, memory: jnp.ndarray,
     token-embedding matrix (modeling.py:986-1026). The memory is identical
     for every batch element, so K/V are projected once ([V, H], unbatched)
     instead of the reference's per-element projection."""
+    if rng is None or dropout_rate == 0.0:
+        # inference / no-dropout: online-softmax flash path (never
+        # materializes the [B, N, q, |V|] logits)
+        return torch_mha_apply_shared_kv_flash(p, heads, feats, memory,
+                                               add_zero_attn=True)
     return torch_mha_apply_shared_kv(
         p, heads, feats, memory, add_zero_attn=True,
         dropout_rate=dropout_rate, dropout_rng=rng)

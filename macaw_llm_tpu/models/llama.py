@@ -183,8 +183,9 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
                    kv_cache: Optional[KVCache] = None,
                    remat: bool = False,
                    use_flash: bool = False,
-                   lora_scale: float = 1.0) -> Tuple[jnp.ndarray,
-                                                     Optional[KVCache]]:
+                   lora_scale: float = 1.0,
+                   shard_sequence: bool = False) -> Tuple[jnp.ndarray,
+                                                          Optional[KVCache]]:
     """Decoder stack over ``inputs_embeds`` [B, S, H].
 
     attention_mask: [B, S_total] {0,1} over the full kv length (prefix
@@ -245,6 +246,14 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
         return h, None
 
     h = inputs_embeds
+    if shard_sequence and kv_cache is None:
+        # sequence/context parallelism (SURVEY §5.7): activations sharded
+        # over the `tensor` mesh axis along the sequence dim between
+        # layers; GSPMD inserts the gathers attention needs. A config
+        # change, not new code — usable once seq length outgrows one chip.
+        from jax.sharding import PartitionSpec as P
+        h = jax.lax.with_sharding_constraint(
+            h, P(("data", "fsdp"), "tensor", None))
     if kv_cache is not None:
         h, (nk, nv) = jax.lax.scan(scan_body, h,
                                    (params["layers"], (kv_cache.k,

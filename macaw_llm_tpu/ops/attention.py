@@ -235,3 +235,63 @@ def torch_mha_apply_shared_kv(params: dict, num_heads: int,
     out = out.reshape(bsz, sq, e)
     return out @ params["out_proj_w"].astype(out.dtype).T + \
         params["out_proj_b"].astype(out.dtype)
+
+
+def torch_mha_apply_shared_kv_flash(params: dict, num_heads: int,
+                                    query: jnp.ndarray,
+                                    memory: jnp.ndarray,
+                                    *, add_zero_attn: bool = True
+                                    ) -> jnp.ndarray:
+    """Flash-kernel version of torch_mha_apply_shared_kv (inference/no-
+    dropout path).
+
+    The batch-shared K/V memory lets the whole attention fold into ONE
+    standard non-causal flash attention call: heads become the batch axis
+    and (batch x queries) become the query sequence, so the online-softmax
+    kernel never materializes the [B, N, q, |V|] logits in HBM.
+    Falls back to the einsum path when K/V would not fit VMEM.
+    """
+    from macaw_llm_tpu.ops.pallas.flash_attention import flash_attention
+
+    e = query.shape[-1]
+    d = e // num_heads
+    bsz, sq, _ = query.shape
+
+    w = params["in_proj_w"].astype(query.dtype)
+    bias = params["in_proj_b"].astype(query.dtype)
+    wq, wk, wv = w[:e], w[e:2 * e], w[2 * e:]
+    bq, bk, bv = bias[:e], bias[e:2 * e], bias[2 * e:]
+
+    q = query @ wq.T + bq                        # [B, Sq, E]
+    k = memory @ wk.T + bk                       # [M, E]
+    v = memory @ wv.T + bv
+    rows_k, rows_v = [k], [v]
+    if "bias_k" in params:
+        rows_k.append(params["bias_k"].astype(k.dtype)[None, :])
+        rows_v.append(params["bias_v"].astype(v.dtype)[None, :])
+    if add_zero_attn:
+        zero = jnp.zeros((1, e), k.dtype)
+        rows_k.append(zero)
+        rows_v.append(zero)
+    k = jnp.concatenate(rows_k, axis=0)          # [M2, E]
+    v = jnp.concatenate(rows_v, axis=0)
+    m2 = k.shape[0]
+
+    # VMEM gate: full K + V per head must fit comfortably
+    bytes_kv = 2 * m2 * d * k.dtype.itemsize
+    if bytes_kv > 10 * 1024 * 1024:
+        return torch_mha_apply_shared_kv(params, num_heads, query, memory,
+                                         add_zero_attn=add_zero_attn)
+
+    # fold: heads -> batch, (batch x queries) -> sequence
+    qh = q.reshape(bsz, sq, num_heads, d).transpose(2, 0, 1, 3) \
+        .reshape(num_heads, bsz * sq, 1, d)
+    kh = k.reshape(m2, num_heads, d).transpose(1, 0, 2)[:, :, None, :]
+    vh = v.reshape(m2, num_heads, d).transpose(1, 0, 2)[:, :, None, :]
+
+    out = flash_attention(qh, kh, vh, None, causal=False,
+                          scale=d ** -0.5, block_q=512, block_k=1024)
+    out = out.reshape(num_heads, bsz, sq, d).transpose(1, 2, 0, 3) \
+        .reshape(bsz, sq, e)
+    return out @ params["out_proj_w"].astype(out.dtype).T + \
+        params["out_proj_b"].astype(out.dtype)

@@ -32,6 +32,12 @@ DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
 
 
+def _interpret() -> bool:
+    """Pallas TPU kernels only run compiled on TPU; interpret elsewhere
+    (CPU tests, debugging)."""
+    return jax.default_backend() != "tpu"
+
+
 def _fold(x):
     """[B, S, N, D] -> [B*N, S, D]"""
     b, s, n, d = x.shape
@@ -140,6 +146,7 @@ def _flash_fwd(q, k, v, bias, scale, block_q, block_k, causal):
             jax.ShapeDtypeStruct((bn, sq, d), q.dtype),
             jax.ShapeDtypeStruct((bn, 1, sq), jnp.float32),
         ),
+        interpret=_interpret(),
     )(*args)
     return _unfold(out, b, n), lse
 
@@ -293,6 +300,7 @@ def _flash_bwd(res, g, scale, block_q, block_k, causal):
         out_specs=pl.BlockSpec((1, block_q, d), lambda h, i: (h, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bn, sq, d), q.dtype),
+        interpret=_interpret(),
     )(qf, kf, vf, *bias_args, dof, lse, delta_f)
 
     # ---- dk / dv ----
@@ -344,6 +352,7 @@ def _flash_bwd(res, g, scale, block_q, block_k, causal):
             jax.ShapeDtypeStruct((bn, sk, d), k.dtype),
             jax.ShapeDtypeStruct((bn, sk, d), v.dtype),
         ),
+        interpret=_interpret(),
     )(qf, kf, vf, *bias_args, dof, lse, delta_f)
 
     dq = _unfold(dqf, b, n)

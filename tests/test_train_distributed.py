@@ -206,3 +206,26 @@ class TestCheckpoint:
             assert int(state2.step) == 2
             assert np.isfinite(float(m["loss"]))
             mgr.close()
+
+
+class TestSequenceSharding:
+    def test_shard_sequence_same_output(self):
+        """Ulysses-style seq sharding over the tensor axis is numerically
+        identical to the unsharded forward."""
+        import dataclasses
+        from macaw_llm_tpu.models import llama as L
+        cfg = tiny_config()
+        mesh_cfg = MeshConfig(data=1, fsdp=4, tensor=2)
+        mesh = create_mesh(mesh_cfg)
+        params = fusion.init_params(jax.random.PRNGKey(3), cfg.model)["llm"]
+        ids = jnp.asarray(np.random.RandomState(0).randint(16, 32000,
+                                                           (2, 16)))
+        with mesh:
+            a, _ = jax.jit(lambda p, i: L.forward(p, cfg.model.llm,
+                                                  input_ids=i))(params, ids)
+            emb = L.embed(params, ids)
+            h, _ = jax.jit(lambda p, e: L.forward_hidden(
+                p, cfg.model.llm, e, shard_sequence=True))(params, emb)
+            b = L.logits_from_hidden(params, h)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-5)
