@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from macaw_llm_tpu.config import IGNORE_ID, LlamaConfig
 from macaw_llm_tpu.utils.quantize import maybe_dequant
+from macaw_llm_tpu.utils import quantize as qz
 from macaw_llm_tpu.ops import (apply_rope, causal_mask, combine_masks,
                                dot_product_attention, padding_mask, rms_norm,
                                rope_cos_sin, silu)
@@ -109,9 +110,9 @@ def _attention(cfg: LlamaConfig, p: dict, h: jnp.ndarray,
     b, s, _ = h.shape
     n, nkv, d = cfg.num_heads, cfg.kv_heads, cfg.head_dim
     compute = h.dtype
-    q2 = h @ maybe_dequant(p["wq"], compute)
-    k2 = h @ maybe_dequant(p["wk"], compute)
-    v2 = h @ maybe_dequant(p["wv"], compute)
+    q2 = qz.matmul(h, p["wq"], compute)
+    k2 = qz.matmul(h, p["wk"], compute)
+    v2 = qz.matmul(h, p["wv"], compute)
     if lora is not None:
         from macaw_llm_tpu.train.lora import lora_delta
         q2 = q2 + lora_delta(h, lora["qa"], lora["qb"], lora_scale)
@@ -145,15 +146,15 @@ def _attention(cfg: LlamaConfig, p: dict, h: jnp.ndarray,
     else:
         out = dot_product_attention(q, k_full, v_full, mask)
     out = out.reshape(b, s, n * d)
-    return out @ maybe_dequant(p["wo"], compute), new_kv
+    return qz.matmul(out, p["wo"], compute), new_kv
 
 
 def _mlp(p: dict, h: jnp.ndarray) -> jnp.ndarray:
     """SwiGLU: down(silu(gate(x)) * up(x)) (reference LlamaMLP,
     modeling.py:126-140)."""
     c = h.dtype
-    return (silu(h @ maybe_dequant(p["gate"], c))
-            * (h @ maybe_dequant(p["up"], c))) @ maybe_dequant(p["down"], c)
+    return qz.matmul(silu(qz.matmul(h, p["gate"], c))
+                     * qz.matmul(h, p["up"], c), p["down"], c)
 
 
 def _decoder_layer(cfg: LlamaConfig, lp: dict, h: jnp.ndarray,
@@ -269,8 +270,7 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
 
 def logits_from_hidden(params: dict, h: jnp.ndarray) -> jnp.ndarray:
     """CLM head (no bias, reference modeling.py:530). fp32 logits."""
-    return (h @ maybe_dequant(params["lm_head"], h.dtype)
-            ).astype(jnp.float32)
+    return qz.matmul(h, params["lm_head"], h.dtype).astype(jnp.float32)
 
 
 def forward(params: dict, cfg: LlamaConfig,
