@@ -277,11 +277,9 @@ def torch_mha_apply_shared_kv_flash(params: dict, num_heads: int,
     v = jnp.concatenate(rows_v, axis=0)
     m2 = k.shape[0]
 
-    # VMEM gate: full K + V per head must fit comfortably
-    bytes_kv = 2 * m2 * d * k.dtype.itemsize
-    if bytes_kv > 10 * 1024 * 1024:
-        return torch_mha_apply_shared_kv(params, num_heads, query, memory,
-                                         add_zero_attn=add_zero_attn)
+    # the streaming kernel holds only one (block_q, d)+(2 x block_k, d)
+    # tile set in VMEM, so K/V length no longer gates the flash path
+    block_k = 1024
 
     # fold: heads -> batch, (batch x queries) -> sequence
     qh = q.reshape(bsz, sq, num_heads, d).transpose(2, 0, 1, 3) \
@@ -290,7 +288,7 @@ def torch_mha_apply_shared_kv_flash(params: dict, num_heads: int,
     vh = v.reshape(m2, num_heads, d).transpose(1, 0, 2)[:, :, None, :]
 
     out = flash_attention(qh, kh, vh, None, causal=False,
-                          scale=d ** -0.5, block_q=512, block_k=1024)
+                          scale=d ** -0.5, block_q=512, block_k=block_k)
     out = out.reshape(num_heads, bsz, sq, d).transpose(1, 2, 0, 3) \
         .reshape(bsz, sq, e)
     return out @ params["out_proj_w"].astype(out.dtype).T + \

@@ -1,20 +1,25 @@
-"""Pallas TPU flash attention (forward + custom-VJP backward).
+"""Pallas TPU flash attention (forward + custom-VJP backward), streaming K/V.
 
-Replaces the materialized [B, N, S, S] attention of the einsum path for
-the LLaMA prefill (reference LlamaAttention materializes attn_weights and
-does softmax in fp32, modeling.py:190-208) with an online-softmax kernel
-that never writes the S x S matrix to HBM:
+Replaces the materialized [B, N, S, S] attention of the einsum path
+(reference LlamaAttention materializes attn_weights and does softmax in
+fp32, modeling.py:190-208) with an online-softmax kernel that never writes
+the S x S matrix to HBM.
 
-  * grid (B*N, S/block_q); K/V streamed through VMEM in block_k tiles
-  * fp32 running max/sum and fp32 accumulator in VMEM scratch
-  * causal masking by block index — K blocks entirely above the diagonal
-    are skipped (the fori_loop upper bound is the causal horizon)
+Kernel structure (the canonical TPU shape): the grid's innermost dimension
+iterates sequentially over K/V blocks, so K and V stream HBM -> VMEM in
+``block_k`` tiles with automatic double-buffering — VMEM holds only one
+q/k/v tile plus fp32 running (max, sum, acc) scratch that persists across
+the sequential grid steps. This keeps VMEM use independent of sequence
+length (a full-K/V-resident design OOMs scoped VMEM past ~16 MB — found on
+hardware with the 32k-entry alignment-attention memory).
+
+  * causal masking by block index; blocks entirely above the diagonal are
+    predicated off
   * optional additive padding bias [B, S_k]
-  * custom VJP: dq kernel (loop over K blocks) + dk/dv kernel (loop over
-    Q blocks), both recomputing p = exp(qk - lse) flash-style
+  * custom VJP: dq kernel (K blocks innermost) + dk/dv kernel (Q blocks
+    innermost), both recomputing p = exp(qk - lse) flash-style
 
-Layout contract: q, k, v are [B, S, N, D] (the framework-wide convention);
-internally folded to [B*N, S, D].
+Layout contract: q, k, v are [B, S, N, D]; internally folded to [B*N, S, D].
 """
 
 from __future__ import annotations
@@ -54,52 +59,52 @@ def _unfold(x, b, n):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                *, scale: float, block_q: int, block_k: int,
-                causal: bool, seq_k: int):
-    qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale          # [bq, d]
+                m_scr, l_scr, acc_scr,
+                *, scale: float, block_q: int, block_k: int, causal: bool):
+    qi, kj = pl.program_id(1), pl.program_id(2)
+    nk = pl.num_programs(2)
 
-    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc0 = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
+    @pl.when(kj == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    num_k_blocks = pl.cdiv(seq_k, block_k)
-    if causal:
-        # highest K block that intersects the causal triangle of this Q block
-        hi = jnp.minimum(num_k_blocks,
-                         (qi * block_q + block_q + block_k - 1) // block_k)
-    else:
-        hi = num_k_blocks
+    # skip K blocks entirely above the causal diagonal of this Q block
+    run = (kj * block_k <= qi * block_q + block_q - 1) if causal else True
 
-    def body(j, carry):
-        m, l, acc = carry
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+    @pl.when(run)
+    def _step():
+        q = q_ref[0].astype(jnp.float32) * scale       # [bq, d]
+        k = k_ref[0].astype(jnp.float32)               # [bk, d]
+        v = v_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if bias_ref is not None:
-            s = s + bias_ref[0, 0, pl.ds(j * block_k, block_k)][None, :]
+            s = s + bias_ref[0, 0][None, :]
         if causal:
             q_idx = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
-            k_idx = j * block_k + jax.lax.broadcasted_iota(
+            k_idx = kj * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
             s = jnp.where(k_idx <= q_idx, s, NEG_INF)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        m_prev, l_prev, acc_prev = m_scr[:], l_scr[:], acc_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
-        corr = jnp.exp(m - m_new)
-        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * corr + jax.lax.dot_general(
+        corr = jnp.exp(m_prev - m_new)
+        m_scr[:] = m_new
+        l_scr[:] = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_prev * corr + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
 
-    m, l, acc = jax.lax.fori_loop(0, hi, body, (m0, l0, acc0))
-    l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    # logsumexp for the backward pass
-    lse_ref[0, 0] = (m + jnp.log(l_safe))[:, 0]
+    @pl.when(kj == nk - 1)
+    def _finalize():
+        l = l_scr[:]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_scr[:] + jnp.log(l_safe))[:, 0]
 
 
 def _flash_fwd(q, k, v, bias, scale, block_q, block_k, causal):
@@ -107,45 +112,52 @@ def _flash_fwd(q, k, v, bias, scale, block_q, block_k, causal):
     sk = k.shape[1]
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     bn = b * n
-    grid = (bn, pl.cdiv(sq, block_q))
+    grid = (bn, pl.cdiv(sq, block_q), pl.cdiv(sk, block_k))
 
     in_specs = [
-        pl.BlockSpec((1, block_q, d), lambda h, i: (h, i, 0),
+        pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, sk, d), lambda h, i: (h, 0, 0),
+        pl.BlockSpec((1, block_k, d), lambda h, i, j: (h, j, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, sk, d), lambda h, i: (h, 0, 0),
+        pl.BlockSpec((1, block_k, d), lambda h, i, j: (h, j, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [qf, kf, vf]
     if bias is not None:
         in_specs.append(
-            pl.BlockSpec((1, 1, sk), lambda h, i, n=n: (h // n, 0, 0),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda h, i, j, n=n: (h // n, 0, j),
                          memory_space=pltpu.VMEM))
         args.append(bias.astype(jnp.float32)[:, None, :])
         kernel = functools.partial(
             _fwd_kernel, scale=scale, block_q=block_q, block_k=block_k,
-            causal=causal, seq_k=sk)
+            causal=causal)
     else:
-        def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
+        def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr,
+                   acc_scr):
             _fwd_kernel(q_ref, k_ref, v_ref, None, o_ref, lse_ref,
-                        scale=scale, block_q=block_q, block_k=block_k,
-                        causal=causal, seq_k=sk)
+                        m_scr, l_scr, acc_scr, scale=scale,
+                        block_q=block_q, block_k=block_k, causal=causal)
 
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, block_q, d), lambda h, i: (h, i, 0),
+            pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda h, i: (h, 0, i),
+            pl.BlockSpec((1, 1, block_q), lambda h, i, j: (h, 0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bn, sq, d), q.dtype),
             jax.ShapeDtypeStruct((bn, 1, sq), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
         interpret=_interpret(),
     )(*args)
     return _unfold(out, b, n), lse
@@ -155,89 +167,96 @@ def _flash_fwd(q, k, v, bias, scale, block_q, block_k, causal):
 # Backward
 # ---------------------------------------------------------------------------
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-                   dq_ref, *, scale, block_q, block_k, causal, seq_k):
-    qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0][:, None]
-    delta = delta_ref[0, 0][:, None]
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                   delta_ref, dq_ref, dq_scr,
+                   *, scale, block_q, block_k, causal):
+    qi, kj = pl.program_id(1), pl.program_id(2)
+    nk = pl.num_programs(2)
 
-    num_k_blocks = pl.cdiv(seq_k, block_k)
-    hi = (jnp.minimum(num_k_blocks,
-                      (qi * block_q + block_q + block_k - 1) // block_k)
-          if causal else num_k_blocks)
+    @pl.when(kj == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    def body(j, dq):
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+    run = (kj * block_k <= qi * block_q + block_q - 1) if causal else True
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[0].astype(jnp.float32) * scale
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, None]
+        delta = delta_ref[0, 0][:, None]
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if bias_ref is not None:
-            s = s + bias_ref[0, 0, pl.ds(j * block_k, block_k)][None, :]
+            s = s + bias_ref[0, 0][None, :]
         if causal:
             q_idx = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
-            k_idx = j * block_k + jax.lax.broadcasted_iota(
+            k_idx = kj * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
             s = jnp.where(k_idx <= q_idx, s, NEG_INF)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
-        return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
+        dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    dq = jax.lax.fori_loop(0, hi, body,
-                           jnp.zeros((block_q, q.shape[-1]), jnp.float32))
-    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+    @pl.when(kj == nk - 1)
+    def _finalize():
+        dq_ref[0] = (dq_scr[:] * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
-                    delta_ref, dk_ref, dv_ref,
-                    *, scale, block_q, block_k, causal, seq_q):
-    ki = pl.program_id(1)
-    k = k_ref[0].astype(jnp.float32)                  # [bk, d]
-    v = v_ref[0].astype(jnp.float32)
-    if bias_ref is not None:
-        bias = bias_ref[0, 0][None, :]                # [1, bk]
-    num_q_blocks = pl.cdiv(seq_q, block_q)
-    lo = (ki * block_k) // block_q if causal else 0
+                    delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                    *, scale, block_q, block_k, causal):
+    kj, qi = pl.program_id(1), pl.program_id(2)
+    nq = pl.num_programs(2)
 
-    def body(i, carry):
-        dk, dv = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32) \
-            * scale
-        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
-        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    # Q blocks strictly above this K block's diagonal contribute nothing
+    run = (qi * block_q + block_q - 1 >= kj * block_k) if causal else True
+
+    @pl.when(run)
+    def _step():
+        q = q_ref[0].astype(jnp.float32) * scale
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, None]
+        delta = delta_ref[0, 0][:, None]
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if bias_ref is not None:
-            s = s + bias
+            s = s + bias_ref[0, 0][None, :]
         if causal:
-            q_idx = i * block_q + jax.lax.broadcasted_iota(
+            q_idx = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
-            k_idx = ki * block_k + jax.lax.broadcasted_iota(
+            k_idx = kj * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
             s = jnp.where(k_idx <= q_idx, s, NEG_INF)
-        p = jnp.exp(s - lse)                          # [bq, bk]
-        dv_new = dv + jax.lax.dot_general(
+        p = jnp.exp(s - lse)                           # [bq, bk]
+        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
-        dk_new = dk + jax.lax.dot_general(
+        dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return dk_new, dv_new
 
-    dk0 = jnp.zeros((block_k, k.shape[-1]), jnp.float32)
-    dv0 = jnp.zeros((block_k, v.shape[-1]), jnp.float32)
-    dk, dv = jax.lax.fori_loop(lo, num_q_blocks, body, (dk0, dv0))
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
 def _flash_bwd(res, g, scale, block_q, block_k, causal):
@@ -247,7 +266,6 @@ def _flash_bwd(res, g, scale, block_q, block_k, causal):
     sk = k.shape[1]
     bn = b * n
 
-    # delta = rowsum(do * out), fp32
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)                           # [B, S, N]
     delta_f = delta.transpose(0, 2, 1).reshape(bn, 1, sq)
@@ -257,101 +275,104 @@ def _flash_bwd(res, g, scale, block_q, block_k, causal):
     has_bias = bias is not None
     bias_args = [bias.astype(jnp.float32)[:, None, :]] if has_bias else []
 
-    def bias_spec(n_heads):
-        return pl.BlockSpec((1, 1, sk),
-                            lambda h, i, n=n_heads: (h // n, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    # ---- dq ----
+    # ---- dq: grid (h, qi, kj) ----
     dq_in_specs = [
-        pl.BlockSpec((1, block_q, d), lambda h, i: (h, i, 0),
+        pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0),
                      memory_space=pltpu.VMEM),                      # q
-        pl.BlockSpec((1, sk, d), lambda h, i: (h, 0, 0),
+        pl.BlockSpec((1, block_k, d), lambda h, i, j: (h, j, 0),
                      memory_space=pltpu.VMEM),                      # k
-        pl.BlockSpec((1, sk, d), lambda h, i: (h, 0, 0),
+        pl.BlockSpec((1, block_k, d), lambda h, i, j: (h, j, 0),
                      memory_space=pltpu.VMEM),                      # v
     ]
     if has_bias:
-        dq_in_specs.append(bias_spec(n))
+        dq_in_specs.append(
+            pl.BlockSpec((1, 1, block_k),
+                         lambda h, i, j, n=n: (h // n, 0, j),
+                         memory_space=pltpu.VMEM))
     dq_in_specs += [
-        pl.BlockSpec((1, block_q, d), lambda h, i: (h, i, 0),
+        pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0),
                      memory_space=pltpu.VMEM),                      # do
-        pl.BlockSpec((1, 1, block_q), lambda h, i: (h, 0, i),
+        pl.BlockSpec((1, 1, block_q), lambda h, i, j: (h, 0, i),
                      memory_space=pltpu.VMEM),                      # lse
-        pl.BlockSpec((1, 1, block_q), lambda h, i: (h, 0, i),
+        pl.BlockSpec((1, 1, block_q), lambda h, i, j: (h, 0, i),
                      memory_space=pltpu.VMEM),                      # delta
     ]
 
     def dq_kernel(*refs):
         if has_bias:
-            q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, \
-                dq_ref = refs
+            (q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+             dq_ref, dq_scr) = refs
         else:
-            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
+            (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+             dq_scr) = refs
             bias_ref = None
         _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
-                       delta_ref, dq_ref, scale=scale, block_q=block_q,
-                       block_k=block_k, causal=causal, seq_k=sk)
+                       delta_ref, dq_ref, dq_scr, scale=scale,
+                       block_q=block_q, block_k=block_k, causal=causal)
 
     dqf = pl.pallas_call(
         dq_kernel,
-        grid=(bn, pl.cdiv(sq, block_q)),
+        grid=(bn, pl.cdiv(sq, block_q), pl.cdiv(sk, block_k)),
         in_specs=dq_in_specs,
-        out_specs=pl.BlockSpec((1, block_q, d), lambda h, i: (h, i, 0),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bn, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=_interpret(),
     )(qf, kf, vf, *bias_args, dof, lse, delta_f)
 
-    # ---- dk / dv ----
+    # ---- dk/dv: grid (h, kj, qi) ----
     dkv_in_specs = [
-        pl.BlockSpec((1, sq, d), lambda h, j: (h, 0, 0),
+        pl.BlockSpec((1, block_q, d), lambda h, j, i: (h, i, 0),
                      memory_space=pltpu.VMEM),                      # q
-        pl.BlockSpec((1, block_k, d), lambda h, j: (h, j, 0),
+        pl.BlockSpec((1, block_k, d), lambda h, j, i: (h, j, 0),
                      memory_space=pltpu.VMEM),                      # k
-        pl.BlockSpec((1, block_k, d), lambda h, j: (h, j, 0),
+        pl.BlockSpec((1, block_k, d), lambda h, j, i: (h, j, 0),
                      memory_space=pltpu.VMEM),                      # v
     ]
     if has_bias:
         dkv_in_specs.append(
-            pl.BlockSpec((1, 1, block_k), lambda h, j, n=n: (h // n, 0, j),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda h, j, i, n=n: (h // n, 0, j),
                          memory_space=pltpu.VMEM))
     dkv_in_specs += [
-        pl.BlockSpec((1, sq, d), lambda h, j: (h, 0, 0),
+        pl.BlockSpec((1, block_q, d), lambda h, j, i: (h, i, 0),
                      memory_space=pltpu.VMEM),                      # do
-        pl.BlockSpec((1, 1, sq), lambda h, j: (h, 0, 0),
+        pl.BlockSpec((1, 1, block_q), lambda h, j, i: (h, 0, i),
                      memory_space=pltpu.VMEM),                      # lse
-        pl.BlockSpec((1, 1, sq), lambda h, j: (h, 0, 0),
+        pl.BlockSpec((1, 1, block_q), lambda h, j, i: (h, 0, i),
                      memory_space=pltpu.VMEM),                      # delta
     ]
 
     def dkv_kernel(*refs):
         if has_bias:
-            q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref, \
-                dk_ref, dv_ref = refs
+            (q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+             dk_ref, dv_ref, dk_scr, dv_scr) = refs
         else:
-            q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, \
-                dv_ref = refs
+            (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
+             dv_ref, dk_scr, dv_scr) = refs
             bias_ref = None
         _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
-                        delta_ref, dk_ref, dv_ref, scale=scale,
-                        block_q=block_q, block_k=block_k, causal=causal,
-                        seq_q=sq)
+                        delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                        scale=scale, block_q=block_q, block_k=block_k,
+                        causal=causal)
 
     dkf, dvf = pl.pallas_call(
         dkv_kernel,
-        grid=(bn, pl.cdiv(sk, block_k)),
+        grid=(bn, pl.cdiv(sk, block_k), pl.cdiv(sq, block_q)),
         in_specs=dkv_in_specs,
         out_specs=(
-            pl.BlockSpec((1, block_k, d), lambda h, j: (h, j, 0),
+            pl.BlockSpec((1, block_k, d), lambda h, j, i: (h, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda h, j: (h, j, 0),
+            pl.BlockSpec((1, block_k, d), lambda h, j, i: (h, j, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bn, sk, d), k.dtype),
             jax.ShapeDtypeStruct((bn, sk, d), v.dtype),
         ),
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
         interpret=_interpret(),
     )(qf, kf, vf, *bias_args, dof, lse, delta_f)
 

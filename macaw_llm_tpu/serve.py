@@ -1,0 +1,325 @@
+"""Minimal production-style serving layer: batched multimodal generation
+over HTTP.
+
+The reference has no serving path (its inference script is an offline eval
+loop, run_clm_llms_inference.py). This server turns the fused
+prefill+decode into a request/response service:
+
+  * request queue + background batcher: requests are grouped up to
+    ``max_batch`` or ``batch_timeout_ms``, padded to a shared bucketed
+    prompt length (no per-request recompiles), run as ONE fused prefill +
+    greedy/sampled decode, and fanned back out
+  * media: base64 WAV audio, base64 JPEG image, or absent (zeros — the
+    reference's absent-modality semantics)
+  * stdlib-only HTTP (POST /generate, GET /healthz); JSON in/out
+
+Programmatic use (no HTTP) goes through ``InferenceEngine.generate_sync``.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import logging
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from macaw_llm_tpu.config import Config, EOS_ID, PAD_ID
+from macaw_llm_tpu.data.templates import format_prompt
+from macaw_llm_tpu.generate import generate
+from macaw_llm_tpu.models import fusion
+
+logger = logging.getLogger("macaw.serve")
+
+PROMPT_BUCKETS = (32, 64, 128, 256)
+
+
+@dataclass
+class Request:
+    prompt: str
+    image: Optional[np.ndarray] = None      # uint8 [H, W, 3]
+    audio: Optional[np.ndarray] = None      # fp32 [480000]
+    video: Optional[np.ndarray] = None      # uint8 [F, H, W, 3]
+    max_new_tokens: int = 128
+    temperature: float = 0.0
+    _done: threading.Event = field(default_factory=threading.Event)
+    _result: Optional[dict] = None
+
+
+class InferenceEngine:
+    """Owns the model params and the batching loop."""
+
+    def __init__(self, params: dict, cfg: Config, tokenizer,
+                 max_batch: int = 8, batch_timeout_ms: float = 20.0,
+                 max_new_tokens: int = 128):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.max_batch = max_batch
+        self.batch_timeout = batch_timeout_ms / 1000.0
+        self.max_new_tokens = max_new_tokens
+        self.queue: "queue.Queue[Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self.stats = {"requests": 0, "batches": 0, "tokens": 0}
+
+    # -------------------- lifecycle --------------------
+
+    def start(self):
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=30)
+
+    # -------------------- public API --------------------
+
+    def generate_sync(self, req: Request, timeout: float = 300.0) -> dict:
+        self.queue.put(req)
+        if not req._done.wait(timeout):
+            raise TimeoutError("generation timed out")
+        return req._result
+
+    # -------------------- batching loop --------------------
+
+    def _collect(self) -> List[Request]:
+        try:
+            first = self.queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.batch_timeout
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self.queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _loop(self):
+        while not self._stop.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # noqa: BLE001 — fail the requests, not the server
+                logger.exception("batch failed")
+                for r in batch:
+                    r._result = {"error": str(e)}
+                    r._done.set()
+
+    def _bucket(self, n: int) -> int:
+        for b in PROMPT_BUCKETS:
+            if n <= b:
+                return b
+        return PROMPT_BUCKETS[-1]
+
+    def _run_batch(self, batch: List[Request]):
+        t0 = time.perf_counter()
+        mcfg = self.cfg.model
+        vis = mcfg.vision
+        # pad the request list to the max batch size so the compiled
+        # graph is reused (requests beyond len(batch) are dummies)
+        n_real = len(batch)
+        b = self.max_batch
+
+        token_lists = []
+        for r in batch:
+            t = self.tokenizer.encode(format_prompt(r.prompt))
+            if t and t[-1] == EOS_ID:
+                t = t[:-1]
+            token_lists.append(t)
+        seq = self._bucket(max(len(t) for t in token_lists))
+        ids = np.full((b, seq), PAD_ID, np.int32)
+        mask = np.zeros((b, seq), np.int32)
+        for i, t in enumerate(token_lists):
+            t = t[:seq]
+            ids[i, :len(t)] = t
+            mask[i, :len(t)] = 1
+
+        images = np.zeros((b, vis.image_size, vis.image_size, 3), np.uint8)
+        audios = np.zeros((b, mcfg.audio.n_audio_samples), np.float32)
+        videos = np.zeros((b, mcfg.fusion.n_frames, vis.image_size,
+                           vis.image_size, 3), np.uint8)
+        for i, r in enumerate(batch):
+            if r.image is not None:
+                images[i] = r.image
+            if r.audio is not None:
+                audios[i] = r.audio
+            if r.video is not None:
+                videos[i] = r.video
+
+        fused = self._fuse(jnp.asarray(ids), jnp.asarray(images),
+                           jnp.asarray(audios), jnp.asarray(videos),
+                           jnp.asarray(mask))
+        temperature = max((r.temperature for r in batch), default=0.0)
+        out = generate(self.params["llm"], mcfg.llm,
+                       inputs_embeds=fused.inputs_embeds,
+                       attention_mask=fused.attention_mask,
+                       max_new_tokens=self.max_new_tokens,
+                       eos_id=EOS_ID, pad_id=PAD_ID,
+                       temperature=temperature,
+                       rng=jax.random.PRNGKey(int(time.time() * 1e3) % 2**31)
+                       if temperature > 0 else None)
+        toks = np.asarray(out.tokens)
+        dt = time.perf_counter() - t0
+
+        for i, r in enumerate(batch):
+            gen = toks[i][: r.max_new_tokens]
+            gen = gen[gen != PAD_ID]
+            text = (self.tokenizer.decode(gen.tolist(),
+                                          skip_special_tokens=True)
+                    if hasattr(self.tokenizer, "decode") else gen.tolist())
+            r._result = {
+                "text": text,
+                "tokens": int(gen.shape[0]),
+                "batch_size": n_real,
+                "latency_ms": round(dt * 1000, 1),
+            }
+            r._done.set()
+        self.stats["requests"] += n_real
+        self.stats["batches"] += 1
+        self.stats["tokens"] += int((toks != PAD_ID).sum())
+
+    def _fuse(self, ids, images, audios, videos, mask):
+        # jit cache keyed by shapes — bucketed prompts keep this bounded
+        if not hasattr(self, "_fuse_fn"):
+            cfg = self.cfg.model
+
+            @jax.jit
+            def fn(params, ids, images, audios, videos, mask):
+                return fusion.prepare_inputs(
+                    params, cfg, input_ids=ids, images=images,
+                    audios=audios, videos=videos, attention_mask=mask)
+
+            self._fuse_fn = fn
+        return self._fuse_fn(self.params, ids, images, audios, videos,
+                             mask)
+
+
+# ---------------------------------------------------------------------------
+# HTTP front
+# ---------------------------------------------------------------------------
+
+def _decode_media(payload: dict, cfg: Config):
+    """base64 fields -> arrays (image: JPEG/PNG; audio: WAV)."""
+    image = audio = video = None
+    size = cfg.model.vision.image_size
+    if payload.get("image_b64"):
+        from macaw_llm_tpu.data import native
+        raw = base64.b64decode(payload["image_b64"])
+        image = native.decode_jpeg_crop(raw, size) if native.available() \
+            else None
+        if image is None:
+            from PIL import Image
+            with Image.open(io.BytesIO(raw)) as im:
+                im = im.convert("RGB").resize((size, size))
+                image = np.asarray(im, np.uint8)
+    if payload.get("audio_b64"):
+        import tempfile
+        from macaw_llm_tpu.data.loader import load_wav
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            f.write(base64.b64decode(payload["audio_b64"]))
+            f.flush()
+            audio = load_wav(f.name)
+    return image, audio, video
+
+
+def make_handler(engine: InferenceEngine, cfg: Config):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            logger.debug(fmt, *args)
+
+        def _send(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok", **engine.stats})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length))
+                image, audio, video = _decode_media(payload, cfg)
+                req = Request(
+                    prompt=payload["prompt"],
+                    image=image, audio=audio, video=video,
+                    max_new_tokens=int(payload.get("max_new_tokens", 128)),
+                    temperature=float(payload.get("temperature", 0.0)))
+                result = engine.generate_sync(req)
+                self._send(200 if "error" not in result else 500, result)
+            except Exception as e:  # noqa: BLE001
+                self._send(400, {"error": str(e)})
+
+    return Handler
+
+
+def serve(params: dict, cfg: Config, tokenizer, *, host: str = "0.0.0.0",
+          port: int = 8000, max_batch: int = 8,
+          batch_timeout_ms: float = 20.0,
+          max_new_tokens: int = 128) -> ThreadingHTTPServer:
+    engine = InferenceEngine(params, cfg, tokenizer, max_batch=max_batch,
+                             batch_timeout_ms=batch_timeout_ms,
+                             max_new_tokens=max_new_tokens)
+    engine.start()
+    server = ThreadingHTTPServer((host, port), make_handler(engine, cfg))
+    server.engine = engine
+    logger.info("serving on %s:%d (max_batch=%d)", host, port, max_batch)
+    return server
+
+
+def main(argv=None):
+    import argparse
+    from macaw_llm_tpu.run_inference import restore_params
+    from macaw_llm_tpu.train.checkpoint import load_config
+    from macaw_llm_tpu.utils.logging import setup_logging
+
+    setup_logging()
+    p = argparse.ArgumentParser(description="Macaw-TPU serving")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--tokenizer", required=True)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--batch-timeout-ms", type=float, default=20.0)
+    p.add_argument("--max-new-tokens", type=int, default=128)
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.checkpoint) or Config()
+    params = restore_params(args.checkpoint, cfg)
+    from transformers import AutoTokenizer
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+    server = serve(params, cfg, tokenizer, host=args.host, port=args.port,
+                   max_batch=args.max_batch,
+                   batch_timeout_ms=args.batch_timeout_ms,
+                   max_new_tokens=args.max_new_tokens)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
