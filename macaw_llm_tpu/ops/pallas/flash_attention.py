@@ -259,7 +259,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd(res, g, scale, block_q, block_k, causal):
+def _flash_bwd(res, g, scale, block_q, block_k, causal, g_lse=None):
     q, k, v, bias, out, lse = res
     do = g
     b, sq, n, d = q.shape
@@ -269,6 +269,10 @@ def _flash_bwd(res, g, scale, block_q, block_k, causal):
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)                           # [B, S, N]
     delta_f = delta.transpose(0, 2, 1).reshape(bn, 1, sq)
+    if g_lse is not None:
+        # direct lse dependence (ring-attention combine): dL/ds_ij gains
+        # + p_ij * g_lse_i, i.e. delta_eff = delta - g_lse
+        delta_f = delta_f - g_lse.astype(jnp.float32)
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     dof = _fold(do)
 
@@ -405,6 +409,57 @@ def _flash_core_bwd(scale, block_q, block_k, causal, res, g):
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_core_lse(q, k, v, bias, scale, block_q, block_k, causal):
+    return _flash_fwd(q, k, v, bias, scale, block_q, block_k, causal)
+
+
+def _flash_core_lse_fwd(q, k, v, bias, scale, block_q, block_k, causal):
+    out, lse = _flash_fwd(q, k, v, bias, scale, block_q, block_k, causal)
+    return (out, lse), (q, k, v, bias, out, lse)
+
+
+def _flash_core_lse_bwd(scale, block_q, block_k, causal, res, g):
+    g_out, g_lse = g
+    return _flash_bwd(res, g_out, scale, block_q, block_k, causal,
+                      g_lse=g_lse)
+
+
+_flash_core_lse.defvjp(_flash_core_lse_fwd, _flash_core_lse_bwd)
+
+
+def flash_attention_with_lse(q, k, v, padding_bias=None, *,
+                             causal: bool = True,
+                             scale: Optional[float] = None,
+                             block_q: int = DEFAULT_BLOCK_Q,
+                             block_k: int = DEFAULT_BLOCK_K):
+    """flash_attention that also returns the per-query logsumexp
+    [B, S, N] fp32 — the ring-attention chunk combiner needs it."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, sq, n, d = q.shape
+    sk = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    pad_q = (-sq) % block_q
+    pad_k = (-sk) % block_k
+    bias = padding_bias
+    qp, kp, vp = q, k, v
+    if pad_q:
+        qp = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+    if pad_k:
+        kp = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+        if bias is None:
+            bias = jnp.zeros((b, sk), jnp.float32)
+        bias = jnp.pad(bias, ((0, 0), (0, pad_k)), constant_values=NEG_INF)
+    out, lse = _flash_core_lse(qp, kp, vp, bias, scale, block_q, block_k,
+                               causal)
+    # lse comes back folded [B*N, 1, Sq_padded]
+    lse = lse.reshape(b, n, -1)[:, :, :sq].transpose(0, 2, 1)
+    return out[:, :sq], lse
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
