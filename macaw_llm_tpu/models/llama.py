@@ -19,7 +19,6 @@ Architecture differences from the reference (deliberate, TPU-first):
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -27,7 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from macaw_llm_tpu.config import IGNORE_ID, LlamaConfig
-from macaw_llm_tpu.utils.quantize import maybe_dequant
 from macaw_llm_tpu.utils import quantize as qz
 from macaw_llm_tpu.ops import (apply_rope, causal_mask, combine_masks,
                                dot_product_attention, padding_mask, rms_norm,

@@ -8,6 +8,8 @@ from macaw_llm_tpu.ops.attention import (
     mha_apply,
     torch_mha_init,
     torch_mha_apply,
+    torch_mha_apply_shared_kv,
+    torch_mha_apply_shared_kv_flash,
 )
 
 __all__ = [
@@ -18,4 +20,5 @@ __all__ = [
     "dot_product_attention",
     "mha_init", "mha_apply",
     "torch_mha_init", "torch_mha_apply",
+    "torch_mha_apply_shared_kv", "torch_mha_apply_shared_kv_flash",
 ]
