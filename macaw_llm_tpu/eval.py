@@ -23,7 +23,7 @@ import numpy as np
 from macaw_llm_tpu.config import Config, EOS_ID, IGNORE_ID, PAD_ID
 from macaw_llm_tpu.data.loader import MediaSource
 from macaw_llm_tpu.data.templates import format_prompt
-from macaw_llm_tpu.generate import generate
+from macaw_llm_tpu.generate import beam_search, generate
 from macaw_llm_tpu.models import fusion
 
 
@@ -42,6 +42,7 @@ def batch_inference_generation(
         params: dict, cfg: Config, tokenizer, examples: List[dict],
         media: Optional[MediaSource] = None, *,
         batch_size: int = 8, max_new_tokens: Optional[int] = None,
+        num_beams: int = 1,
         out_path: Optional[str] = None,
         boundary_ids: Optional[dict] = None) -> List[dict]:
     """Batched generation over val rows
@@ -101,10 +102,19 @@ def batch_inference_generation(
             videos=jnp.asarray(videos),
             attention_mask=jnp.asarray(mask),
             boundary_ids=boundary_ids)
-        out = generate(params["llm"], mcfg.llm,
-                       inputs_embeds=batch.inputs_embeds,
-                       attention_mask=batch.attention_mask,
-                       max_new_tokens=max_new, eos_id=EOS_ID, pad_id=PAD_ID)
+        if num_beams > 1:
+            out = beam_search(params["llm"], mcfg.llm,
+                              inputs_embeds=batch.inputs_embeds,
+                              attention_mask=batch.attention_mask,
+                              num_beams=num_beams,
+                              max_new_tokens=max_new, eos_id=EOS_ID,
+                              pad_id=PAD_ID)
+        else:
+            out = generate(params["llm"], mcfg.llm,
+                           inputs_embeds=batch.inputs_embeds,
+                           attention_mask=batch.attention_mask,
+                           max_new_tokens=max_new, eos_id=EOS_ID,
+                           pad_id=PAD_ID)
         toks = np.asarray(out.tokens)
         for i, e in enumerate(chunk):
             gen = toks[i]

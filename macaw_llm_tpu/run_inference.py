@@ -45,6 +45,7 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--max-examples", type=int, default=None)
     p.add_argument("--max-new-tokens", type=int, default=None)
+    p.add_argument("--num-beams", type=int, default=1)
     p.add_argument("--output-dir", type=str, default="eval_outputs")
     return p.parse_args(argv)
 
@@ -95,6 +96,7 @@ def main(argv=None):
         params, cfg, tokenizer, examples, media,
         batch_size=args.batch_size,
         max_new_tokens=args.max_new_tokens,
+        num_beams=args.num_beams,
         out_path=out_path)
     logger.info("wrote %d generations to %s", len(results), out_path)
     return results
