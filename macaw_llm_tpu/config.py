@@ -171,6 +171,8 @@ class ModelConfig:
     use_flash: bool = False            # Pallas flash attention in the LLM
                                        # (prefill/training path; head_dim
                                        # should be a multiple of 128)
+    shard_sequence: bool = False       # Ulysses-style activation sharding
+                                       # of the sequence dim over `tensor`
 
     # ---- static fused-sequence geometry (SURVEY §7: always-present
     # modalities make the fused length fixed — ideal for XLA) ----

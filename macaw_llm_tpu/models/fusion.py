@@ -385,6 +385,7 @@ def forward(params: dict, cfg: ModelConfig, *,
         params["llm"], cfg.llm, inputs_embeds=batch.inputs_embeds,
         attention_mask=batch.attention_mask, remat=cfg.remat,
         use_flash=cfg.use_flash, lora_scale=lora_scale,
+        shard_sequence=cfg.shard_sequence,
         dtype=batch.inputs_embeds.dtype)
     loss = None
     if batch.labels is not None:

@@ -280,6 +280,7 @@ def forward(params: dict, cfg: LlamaConfig,
             remat: bool = False,
             use_flash: bool = False,
             lora_scale: float = 1.0,
+            shard_sequence: bool = False,
             dtype=jnp.float32):
     """Full CLM forward -> (logits [B,S,V] fp32, new_kv_cache).
 
@@ -291,7 +292,7 @@ def forward(params: dict, cfg: LlamaConfig,
         inputs_embeds = embed(params, input_ids, dtype)
     h, new_cache = forward_hidden(params, cfg, inputs_embeds, attention_mask,
                                   positions, kv_cache, remat, use_flash,
-                                  lora_scale)
+                                  lora_scale, shard_sequence)
     return logits_from_hidden(params, h), new_cache
 
 
