@@ -74,7 +74,15 @@ def generate(params: dict, cfg: LlamaConfig, *,
         params, cfg, inputs_embeds=inputs_embeds,
         attention_mask=full_mask, positions=prompt_pos, kv_cache=cache,
         dtype=dtype)
-    next_tok = _sample(logits[:, -1], rng, temperature, top_k)
+    # sample at the LAST VALID prompt position per row — for right-padded
+    # prompts logits[:, -1] sits on a PAD slot (HF/the reference sample
+    # there anyway; this is a deliberate fix). Left-padded and unpadded
+    # prompts are unchanged (last valid == last position).
+    last_valid = jnp.max(attention_mask.astype(jnp.int32)
+                         * jnp.arange(s)[None, :], axis=1)      # [B]
+    first_logits = jnp.take_along_axis(
+        logits, last_valid[:, None, None], axis=1)[:, 0]
+    next_tok = _sample(first_logits, rng, temperature, top_k)
 
     class State(NamedTuple):
         cache: llama.KVCache
@@ -166,7 +174,11 @@ def beam_search(params: dict, cfg: LlamaConfig, *,
         v=jnp.repeat(cache.v, num_beams, axis=1),
         length=cache.length)
 
-    logprobs0 = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), -1)
+    last_valid = jnp.max(attention_mask.astype(jnp.int32)
+                         * jnp.arange(s)[None, :], axis=1)
+    first_logits = jnp.take_along_axis(
+        logits, last_valid[:, None, None], axis=1)[:, 0]
+    logprobs0 = jax.nn.log_softmax(first_logits.astype(jnp.float32), -1)
     top0 = jax.lax.top_k(logprobs0, num_beams)            # ([B,k], [B,k])
     scores = top0[0]                                      # [B, beams]
     tok0 = top0[1].astype(jnp.int32)                      # [B, beams]

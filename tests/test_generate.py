@@ -143,3 +143,20 @@ def test_beam_one_equals_greedy(params):
                      max_new_tokens=8, eos_id=2, pad_id=0)
     np.testing.assert_array_equal(np.asarray(g.tokens),
                                   np.asarray(bm.tokens))
+
+
+def test_right_padded_prompt_matches_unpadded(params):
+    """Right-padded prompts must generate the same tokens as the unpadded
+    prompt (the first token samples at the last VALID position — HF and
+    the reference sample at the pad slot; deliberate fix)."""
+    rng = np.random.RandomState(9)
+    ids = rng.randint(3, CFG.vocab_size, (1, 5))
+    ref = generate_from_ids(params, CFG, input_ids=jnp.asarray(ids),
+                            max_new_tokens=6, eos_id=2, pad_id=0)
+    padded = np.concatenate([ids, np.zeros((1, 3), ids.dtype)], axis=1)
+    mask = np.array([[1] * 5 + [0] * 3])
+    got = generate_from_ids(params, CFG, input_ids=jnp.asarray(padded),
+                            attention_mask=jnp.asarray(mask),
+                            max_new_tokens=6, eos_id=2, pad_id=0)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(got.tokens))
