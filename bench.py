@@ -27,8 +27,8 @@ import time
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--profile", default="1b", choices=["1b", "7b", "tiny"])
-    p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--seq", type=int, default=256)
     p.add_argument("--mode", default="prefill",

@@ -353,7 +353,7 @@ def tiny_model_config() -> ModelConfig:
 def macaw_7b() -> ModelConfig:
     """Reference-parity flagship: LLaMA-7B + 2x CLIP ViT-B/16 +
     Whisper-base (run_clm_llms.py:480-483), ~7.3B params."""
-    return ModelConfig()
+    return ModelConfig(use_flash=True)
 
 
 def macaw_1b() -> ModelConfig:
