@@ -99,7 +99,9 @@ def _attention(cfg: LlamaConfig, p: dict, h: jnp.ndarray,
                flash_bias: Optional[jnp.ndarray] = None,
                use_flash: bool = False,
                lora: Optional[dict] = None,
-               lora_scale: float = 1.0):
+               lora_scale: float = 1.0,
+               ring_mesh=None,
+               ring_axis: str = "tensor"):
     """One attention block. h: [B, S, H]. Returns (out, (k_new, v_new)).
 
     use_flash routes the no-cache (prefill/training) path through the
@@ -138,7 +140,13 @@ def _attention(cfg: LlamaConfig, p: dict, h: jnp.ndarray,
         k_full = jnp.repeat(k_full, rep, axis=2)
         v_full = jnp.repeat(v_full, rep, axis=2)
 
-    if use_flash and kv is None:
+    if ring_mesh is not None and kv is None:
+        # sequence sharded across chips: ring attention (no padding bias —
+        # long-context training packs sequences)
+        from macaw_llm_tpu.parallel.ring_attention import ring_attention
+        out = ring_attention(q, k_full, v_full, mesh=ring_mesh,
+                             axis=ring_axis)
+    elif use_flash and kv is None:
         from macaw_llm_tpu.ops.pallas.flash_attention import flash_attention
         out = flash_attention(q, k_full, v_full, flash_bias, causal=True)
     else:
@@ -157,13 +165,14 @@ def _mlp(p: dict, h: jnp.ndarray) -> jnp.ndarray:
 
 def _decoder_layer(cfg: LlamaConfig, lp: dict, h: jnp.ndarray,
                    mask, cos, sin, kv, cache_pos,
-                   flash_bias=None, use_flash=False, lora_scale=1.0):
+                   flash_bias=None, use_flash=False, lora_scale=1.0,
+                   ring_mesh=None, ring_axis="tensor"):
     """Pre-norm attn + residual, pre-norm SwiGLU + residual
     (reference LlamaDecoderLayer, modeling.py:234-299)."""
     attn_out, new_kv = _attention(
         cfg, lp["attn"], rms_norm(h, lp["input_norm"], cfg.rms_norm_eps),
         mask, cos, sin, kv, cache_pos, flash_bias, use_flash,
-        lp.get("lora"), lora_scale)
+        lp.get("lora"), lora_scale, ring_mesh, ring_axis)
     h = h + attn_out
     h = h + _mlp(lp["mlp"], rms_norm(h, lp["post_norm"], cfg.rms_norm_eps))
     return h, new_kv
@@ -183,8 +192,10 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
                    remat: bool = False,
                    use_flash: bool = False,
                    lora_scale: float = 1.0,
-                   shard_sequence: bool = False) -> Tuple[jnp.ndarray,
-                                                          Optional[KVCache]]:
+                   shard_sequence: bool = False,
+                   ring_mesh=None,
+                   ring_axis: str = "tensor") -> Tuple[jnp.ndarray,
+                                                       Optional[KVCache]]:
     """Decoder stack over ``inputs_embeds`` [B, S, H].
 
     attention_mask: [B, S_total] {0,1} over the full kv length (prefix
@@ -229,7 +240,9 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
     # otherwise trace them and `if use_flash` would fail on a tracer
     layer_fn = partial(_decoder_layer, cfg,
                        use_flash=use_flash and kv_cache is None,
-                       lora_scale=lora_scale)
+                       lora_scale=lora_scale,
+                       ring_mesh=ring_mesh if kv_cache is None else None,
+                       ring_axis=ring_axis)
     if remat:
         layer_fn = jax.checkpoint(layer_fn,
                                   policy=jax.checkpoint_policies.nothing_saveable)

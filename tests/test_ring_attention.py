@@ -57,3 +57,22 @@ class TestRingAttention:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-3, atol=5e-5,
                                        err_msg=f"d{name}")
+
+
+class TestRingInDecoder:
+    def test_decoder_forward_with_ring_matches_plain(self):
+        """llama.forward with ring attention over the tensor axis ==
+        single-device forward (long-context training path)."""
+        from macaw_llm_tpu.config import tiny_model_config
+        from macaw_llm_tpu.models import fusion, llama
+        cfg = tiny_model_config()
+        params = fusion.init_params(jax.random.PRNGKey(9), cfg)["llm"]
+        emb = llama.embed(params,
+                          jnp.asarray(np.random.RandomState(0).randint(
+                              16, 32000, (2, 64))))
+        ref, _ = llama.forward_hidden(params, cfg.llm, emb)
+        mesh = create_mesh(MeshConfig(data=1, fsdp=2, tensor=4))
+        got, _ = llama.forward_hidden(params, cfg.llm, emb,
+                                      ring_mesh=mesh, ring_axis="tensor")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-3, atol=1e-4)
