@@ -123,12 +123,19 @@ def _attention(cfg: LlamaConfig, p: dict, h: jnp.ndarray,
     q, k = apply_rope(q, k, cos, sin)
 
     if kv is not None:
-        # write current k/v into the static cache at cache_pos
         ck, cv = kv
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                          (0, cache_pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                          (0, cache_pos, 0, 0))
+        if cache_pos.ndim == 1:
+            # per-row write positions (continuous batching: every slot has
+            # its own sequence length); decode steps only (s == 1)
+            rows = jnp.arange(b)
+            ck = ck.at[rows, cache_pos].set(k[:, 0].astype(ck.dtype))
+            cv = cv.at[rows, cache_pos].set(v[:, 0].astype(cv.dtype))
+        else:
+            # write current k/v into the static cache at cache_pos
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                              (0, cache_pos, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                              (0, cache_pos, 0, 0))
         k_full, v_full = ck.astype(compute), cv.astype(compute)
         new_kv = (ck, cv)
     else:
@@ -207,15 +214,24 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
     if kv_cache is not None:
         cache_pos = kv_cache.length
         kv_len = kv_cache.k.shape[2]
-        if positions is None:
-            positions = cache_pos + jnp.arange(s)[None, :]
-        # causal mask against the static cache: key j valid iff
-        # j <= cache_pos + i (queries are at cache_pos..cache_pos+s-1)
-        q_pos = cache_pos + jnp.arange(s)[:, None]
-        k_pos = jnp.arange(kv_len)[None, :]
-        base = jnp.where(k_pos <= q_pos, 0.0,
-                         jnp.finfo(jnp.float32).min)[None, None]
-        mask = base
+        if cache_pos.ndim == 1:
+            # per-row lengths (continuous batching): single-token decode
+            assert s == 1, "vector cache lengths support s == 1 only"
+            if positions is None:
+                positions = cache_pos[:, None]
+            k_pos = jnp.arange(kv_len)[None, :]
+            base = jnp.where(k_pos <= cache_pos[:, None], 0.0,
+                             jnp.finfo(jnp.float32).min)
+            mask = base[:, None, None, :]              # [B, 1, 1, kv]
+        else:
+            if positions is None:
+                positions = cache_pos + jnp.arange(s)[None, :]
+            # causal mask against the static cache: key j valid iff
+            # j <= cache_pos + i (queries at cache_pos..cache_pos+s-1)
+            q_pos = cache_pos + jnp.arange(s)[:, None]
+            k_pos = jnp.arange(kv_len)[None, :]
+            mask = jnp.where(k_pos <= q_pos, 0.0,
+                             jnp.finfo(jnp.float32).min)[None, None]
         if attention_mask is not None:
             mask = combine_masks(mask, padding_mask(attention_mask, s))
     else:

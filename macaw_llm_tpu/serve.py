@@ -282,10 +282,16 @@ def make_handler(engine: InferenceEngine, cfg: Config):
 def serve(params: dict, cfg: Config, tokenizer, *, host: str = "0.0.0.0",
           port: int = 8000, max_batch: int = 8,
           batch_timeout_ms: float = 20.0,
-          max_new_tokens: int = 128) -> ThreadingHTTPServer:
-    engine = InferenceEngine(params, cfg, tokenizer, max_batch=max_batch,
-                             batch_timeout_ms=batch_timeout_ms,
-                             max_new_tokens=max_new_tokens)
+          max_new_tokens: int = 128,
+          continuous: bool = False) -> ThreadingHTTPServer:
+    if continuous:
+        engine = ContinuousEngine(params, cfg, tokenizer, slots=max_batch,
+                                  max_new_tokens=max_new_tokens)
+    else:
+        engine = InferenceEngine(params, cfg, tokenizer,
+                                 max_batch=max_batch,
+                                 batch_timeout_ms=batch_timeout_ms,
+                                 max_new_tokens=max_new_tokens)
     engine.start()
     server = ThreadingHTTPServer((host, port), make_handler(engine, cfg))
     server.engine = engine
@@ -308,6 +314,9 @@ def main(argv=None):
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--batch-timeout-ms", type=float, default=20.0)
     p.add_argument("--max-new-tokens", type=int, default=128)
+    p.add_argument("--continuous", action="store_true",
+                   help="slot-based continuous batching instead of the "
+                        "static batcher")
     args = p.parse_args(argv)
 
     cfg = load_config(args.checkpoint) or Config()
@@ -317,9 +326,220 @@ def main(argv=None):
     server = serve(params, cfg, tokenizer, host=args.host, port=args.port,
                    max_batch=args.max_batch,
                    batch_timeout_ms=args.batch_timeout_ms,
-                   max_new_tokens=args.max_new_tokens)
+                   max_new_tokens=args.max_new_tokens,
+                   continuous=args.continuous)
     server.serve_forever()
 
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# Continuous batching
+# ---------------------------------------------------------------------------
+
+class ContinuousEngine:
+    """Slot-based continuous batching: requests are admitted into free KV-
+    cache slots as they arrive (single-request fused prefill scattered into
+    the slot), while ONE decode step per iteration advances every active
+    slot — new arrivals never wait for the current batch to finish, unlike
+    the static batcher above. Per-slot cache positions use the decoder's
+    vector cache lengths.
+    """
+
+    def __init__(self, params: dict, cfg: Config, tokenizer, *,
+                 slots: int = 8, prompt_bucket: int = 128,
+                 max_new_tokens: int = 128):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.slots = slots
+        self.prompt_bucket = prompt_bucket
+        self.max_new = max_new_tokens
+        mcfg = cfg.model
+        self.total_len = prompt_bucket + cfg.model.total_prefix_len \
+            + max_new_tokens
+
+        from macaw_llm_tpu.models import llama as L
+        self._L = L
+        cache = L.KVCache.create(mcfg.llm, slots, self.total_len,
+                                 jnp.dtype(mcfg.dtype))
+        self.cache_k = cache.k
+        self.cache_v = cache.v
+        self.lengths = jnp.zeros((slots,), jnp.int32)
+        self.toks = jnp.zeros((slots,), jnp.int32)
+
+        # host-side slot state
+        self._reqs: List[Optional[Request]] = [None] * slots
+        self._generated: List[List[int]] = [[] for _ in range(slots)]
+        self._budget = np.zeros(slots, np.int64)
+        self.queue: "queue.Queue[Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self.stats = {"requests": 0, "steps": 0, "admitted": 0}
+
+        self._prefill_fn = None
+        self._step_fn = None
+
+    # -------------------- lifecycle / API --------------------
+
+    def start(self):
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=60)
+
+    def generate_sync(self, req: Request, timeout: float = 600.0) -> dict:
+        self.queue.put(req)
+        if not req._done.wait(timeout):
+            raise TimeoutError("generation timed out")
+        return req._result
+
+    # -------------------- jitted pieces --------------------
+
+    def _build_fns(self):
+        mcfg = self.cfg.model
+        L = self._L
+
+        @jax.jit
+        def prefill(params, ids, images, audios, videos, mask):
+            fused = fusion.prepare_inputs(
+                params, mcfg, input_ids=ids, images=images, audios=audios,
+                videos=videos, attention_mask=mask)
+            cache = L.KVCache.create(mcfg.llm, 1, self.total_len,
+                                     jnp.dtype(mcfg.dtype))
+            full_mask = jnp.concatenate(
+                [fused.attention_mask.astype(jnp.int32),
+                 jnp.ones((1, self.total_len
+                           - fused.attention_mask.shape[1]), jnp.int32)],
+                axis=1)
+            pos = jnp.maximum(jnp.cumsum(
+                fused.attention_mask.astype(jnp.int32), axis=1) - 1, 0)
+            logits, cache = L.forward(
+                params["llm"], mcfg.llm,
+                inputs_embeds=fused.inputs_embeds,
+                attention_mask=full_mask, positions=pos, kv_cache=cache,
+                dtype=fused.inputs_embeds.dtype)
+            last = jnp.max(fused.attention_mask.astype(jnp.int32)
+                           * jnp.arange(fused.attention_mask.shape[1]
+                                        )[None, :], axis=1)
+            first_tok = jnp.argmax(jnp.take_along_axis(
+                logits, last[:, None, None], axis=1)[:, 0], -1)
+            return cache.k[:, 0], cache.v[:, 0], \
+                first_tok[0].astype(jnp.int32), last[0] + 1
+
+        @jax.jit
+        def admit(cache_k, cache_v, lengths, toks, slot_onehot,
+                  new_k, new_v, new_len, new_tok):
+            # scatter the prefilled slot into the big cache
+            sel = slot_onehot.astype(bool)            # [slots]
+            cache_k = jnp.where(sel[None, :, None, None, None],
+                                new_k[:, None], cache_k)
+            cache_v = jnp.where(sel[None, :, None, None, None],
+                                new_v[:, None], cache_v)
+            lengths = jnp.where(sel, new_len, lengths)
+            toks = jnp.where(sel, new_tok, toks)
+            return cache_k, cache_v, lengths, toks
+
+        @jax.jit
+        def step(params, cache_k, cache_v, lengths, toks, active):
+            cache = L.KVCache(k=cache_k, v=cache_v, length=lengths)
+            logits, cache = L.forward(
+                params["llm"], mcfg.llm, input_ids=toks[:, None],
+                kv_cache=cache, dtype=jnp.dtype(mcfg.dtype))
+            nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+            new_lengths = jnp.where(active, cache.length, lengths)
+            new_toks = jnp.where(active, nxt, toks)
+            return cache.k, cache.v, new_lengths, new_toks
+
+        self._prefill_fn, self._admit_fn, self._step_fn = \
+            prefill, admit, step
+
+    # -------------------- loop --------------------
+
+    def _admit_one(self, slot: int, req: Request):
+        mcfg = self.cfg.model
+        vis = mcfg.vision
+        t = self.tokenizer.encode(format_prompt(req.prompt))
+        if t and t[-1] == EOS_ID:
+            t = t[:-1]
+        t = t[:self.prompt_bucket]
+        ids = np.full((1, self.prompt_bucket), PAD_ID, np.int32)
+        mask = np.zeros((1, self.prompt_bucket), np.int32)
+        ids[0, :len(t)] = t
+        mask[0, :len(t)] = 1
+        image = req.image if req.image is not None else np.zeros(
+            (vis.image_size, vis.image_size, 3), np.uint8)
+        audio = req.audio if req.audio is not None else np.zeros(
+            (mcfg.audio.n_audio_samples,), np.float32)
+        video = req.video if req.video is not None else np.zeros(
+            (mcfg.fusion.n_frames, vis.image_size, vis.image_size, 3),
+            np.uint8)
+        new_k, new_v, tok, length = self._prefill_fn(
+            self.params, jnp.asarray(ids), jnp.asarray(image[None]),
+            jnp.asarray(audio[None]), jnp.asarray(video[None]),
+            jnp.asarray(mask))
+        onehot = np.zeros((self.slots,), np.int32)
+        onehot[slot] = 1
+        self.cache_k, self.cache_v, self.lengths, self.toks = \
+            self._admit_fn(self.cache_k, self.cache_v, self.lengths,
+                           self.toks, jnp.asarray(onehot), new_k, new_v,
+                           length, tok)
+        self._reqs[slot] = req
+        self._generated[slot] = [int(tok)]
+        self._budget[slot] = min(req.max_new_tokens, self.max_new) - 1
+        self.stats["admitted"] += 1
+        if int(tok) == EOS_ID or self._budget[slot] <= 0:
+            self._finish(slot)
+
+    def _finish(self, slot: int):
+        req = self._reqs[slot]
+        gen = [t for t in self._generated[slot] if t != PAD_ID]
+        if gen and gen[-1] == EOS_ID:
+            gen = gen[:-1]
+        text = (self.tokenizer.decode(gen, skip_special_tokens=True)
+                if hasattr(self.tokenizer, "decode") else gen)
+        req._result = {"text": text, "tokens": len(gen)}
+        req._done.set()
+        self._reqs[slot] = None
+        self._generated[slot] = []
+        self.stats["requests"] += 1
+
+    def _loop(self):
+        if self._prefill_fn is None:
+            self._build_fns()
+        while not self._stop.is_set():
+            admitted = False
+            for slot in range(self.slots):
+                if self._reqs[slot] is None:
+                    try:
+                        req = self.queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    try:
+                        self._admit_one(slot, req)
+                        admitted = True
+                    except Exception as e:  # noqa: BLE001
+                        req._result = {"error": str(e)}
+                        req._done.set()
+            active_slots = [i for i, r in enumerate(self._reqs)
+                            if r is not None]
+            if not active_slots:
+                if not admitted:
+                    time.sleep(0.005)
+                continue
+            active = np.zeros((self.slots,), bool)
+            active[active_slots] = True
+            self.cache_k, self.cache_v, self.lengths, self.toks = \
+                self._step_fn(self.params, self.cache_k, self.cache_v,
+                              self.lengths, self.toks, jnp.asarray(active))
+            self.stats["steps"] += 1
+            toks = np.asarray(self.toks)
+            for slot in active_slots:
+                tok = int(toks[slot])
+                self._generated[slot].append(tok)
+                self._budget[slot] -= 1
+                if tok == EOS_ID or self._budget[slot] <= 0:
+                    self._finish(slot)

@@ -148,3 +148,44 @@ def test_gqa_config_runs():
     logits, _ = llama.forward(p, cfg,
                               input_ids=jnp.zeros((1, 4), jnp.int32))
     assert logits.shape == (1, 4, 64)
+
+
+def test_per_row_cache_decode(params):
+    """Vector cache lengths (continuous batching): two rows at different
+    sequence offsets decode the same logits as the aligned scalar path."""
+    rng = np.random.RandomState(8)
+    ids_a = rng.randint(0, CFG.vocab_size, (1, 7))
+    ids_b = rng.randint(0, CFG.vocab_size, (1, 4))
+
+    # per-row references: full forward on each prompt
+    ref_a, _ = llama.forward(params, CFG, input_ids=jnp.asarray(ids_a))
+    ref_b, _ = llama.forward(params, CFG, input_ids=jnp.asarray(ids_b))
+
+    # build a 2-slot cache: prefill each row separately then merge
+    max_len = 16
+    merged = llama.KVCache.create(CFG, 2, max_len, jnp.float32)
+    for row, ids in ((0, ids_a), (1, ids_b)):
+        c1 = llama.KVCache.create(CFG, 1, max_len, jnp.float32)
+        _, c1 = llama.forward(params, CFG,
+                              input_ids=jnp.asarray(ids[:, :-1]),
+                              kv_cache=c1)
+        merged = llama.KVCache(
+            k=merged.k.at[:, row].set(c1.k[:, 0]),
+            v=merged.v.at[:, row].set(c1.v[:, 0]),
+            length=merged.length)
+    lengths = jnp.asarray([ids_a.shape[1] - 1, ids_b.shape[1] - 1],
+                          jnp.int32)
+    cache = llama.KVCache(k=merged.k, v=merged.v, length=lengths)
+
+    # one decode step with the last token of each prompt
+    toks = jnp.asarray([[ids_a[0, -1]], [ids_b[0, -1]]])
+    logits, cache2 = llama.forward(params, CFG, input_ids=toks,
+                                   kv_cache=cache)
+    np.testing.assert_allclose(np.asarray(logits[0, 0]),
+                               np.asarray(ref_a[0, -1]), rtol=2e-3,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(logits[1, 0]),
+                               np.asarray(ref_b[0, -1]), rtol=2e-3,
+                               atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(cache2.length),
+                                  np.asarray(lengths) + 1)

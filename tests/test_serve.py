@@ -110,3 +110,71 @@ class TestHTTP:
         finally:
             server.shutdown()
             server.engine.stop()
+
+
+class TestContinuousBatching:
+    def test_tokens_match_static_generate(self, setup):
+        """Continuous batching greedy output must equal the one-shot
+        generate() for each prompt independently."""
+        import jax.numpy as jnp
+        from macaw_llm_tpu.generate import generate
+        from macaw_llm_tpu.models import fusion as F
+        from macaw_llm_tpu.serve import ContinuousEngine
+        cfg, params = setup
+        tok = MiniTok()
+        eng = ContinuousEngine(params, cfg, tok, slots=2,
+                               prompt_bucket=32, max_new_tokens=5)
+        eng.start()
+        try:
+            prompts = ["first question here", "a different ask",
+                       "third thing entirely"]
+            results = [None] * len(prompts)
+
+            def worker(i):
+                from macaw_llm_tpu.serve import Request
+                results[i] = eng.generate_sync(
+                    Request(prompt=prompts[i], max_new_tokens=5),
+                    timeout=900)
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(len(prompts))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(900)
+            assert all(r is not None and "text" in r for r in results), \
+                results
+            assert eng.stats["requests"] == 3
+            # 3 requests on 2 slots forces overlap/recycling
+
+            # reference: static one-at-a-time generation
+            from macaw_llm_tpu.data.templates import format_prompt
+            from macaw_llm_tpu.config import EOS_ID, PAD_ID
+            vis = cfg.model.vision
+            for i, p in enumerate(prompts):
+                ids = np.full((1, 32), PAD_ID, np.int32)
+                mask = np.zeros((1, 32), np.int32)
+                t = tok.encode(format_prompt(p))[:32]
+                ids[0, :len(t)] = t
+                mask[0, :len(t)] = 1
+                fused = F.prepare_inputs(
+                    params, cfg.model, input_ids=jnp.asarray(ids),
+                    images=jnp.zeros((1, vis.image_size, vis.image_size,
+                                      3), jnp.uint8),
+                    audios=jnp.zeros((1, 480000), jnp.float32),
+                    videos=jnp.zeros((1, cfg.model.fusion.n_frames,
+                                      vis.image_size, vis.image_size, 3),
+                                     jnp.uint8),
+                    attention_mask=jnp.asarray(mask))
+                ref = generate(params["llm"], cfg.model.llm,
+                               inputs_embeds=fused.inputs_embeds,
+                               attention_mask=fused.attention_mask,
+                               max_new_tokens=5, eos_id=EOS_ID,
+                               pad_id=PAD_ID)
+                ref_toks = [int(x) for x in np.asarray(ref.tokens)[0]
+                            if int(x) != PAD_ID]
+                got = results[i]["text"]
+                exp = tok.decode(ref_toks)
+                assert got == exp, (p, got, exp)
+        finally:
+            eng.stop()
