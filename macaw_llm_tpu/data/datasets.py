@@ -25,7 +25,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from macaw_llm_tpu.config import IGNORE_ID
-from macaw_llm_tpu.data.templates import format_full, format_prompt
+from macaw_llm_tpu.data.templates import format_prompt
 
 
 @dataclass

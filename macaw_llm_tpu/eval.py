@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -15,8 +15,6 @@ reference is NOT post-layernormed — replicated here.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -19,12 +19,9 @@ linear), so it serves training as well as prefill.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from macaw_llm_tpu.ops.pallas.flash_attention import (
     NEG_INF, flash_attention_with_lse)

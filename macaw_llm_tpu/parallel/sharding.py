@@ -24,7 +24,7 @@ from typing import Any, List, Tuple
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from macaw_llm_tpu.parallel.mesh import DATA_AXIS, FSDP_AXIS, TENSOR_AXIS
+from macaw_llm_tpu.parallel.mesh import FSDP_AXIS, TENSOR_AXIS
 
 # (path regex, spec) — first match wins. Paths look like
 # "llm/layers/attn/wq", "fusion/to_hidden/video/w", ...

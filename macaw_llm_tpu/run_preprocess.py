@@ -31,9 +31,9 @@ import sys
 import numpy as np
 
 from macaw_llm_tpu.config import SPECIAL_TOKENS
-from macaw_llm_tpu.data.datasets import (TokenizedDataset, build_alpaca,
-                                         build_avsd, build_name_table,
-                                         build_vqa, mix_datasets)
+from macaw_llm_tpu.data.datasets import (build_alpaca, build_avsd,
+                                         build_name_table, build_vqa,
+                                         mix_datasets)
 from macaw_llm_tpu.utils.logging import setup_logging
 
 logger = logging.getLogger("macaw.preprocess")

@@ -24,7 +24,7 @@ import signal
 import jax
 import numpy as np
 
-from macaw_llm_tpu.config import Config, IGNORE_ID, PAD_ID, tiny_model_config
+from macaw_llm_tpu.config import Config, IGNORE_ID, tiny_model_config
 from macaw_llm_tpu.data.datasets import TokenizedDataset
 from macaw_llm_tpu.data.loader import BatchLoader, MediaSource
 from macaw_llm_tpu.models import fusion

@@ -9,7 +9,7 @@ run_clm_llms.py:378-398 — see SURVEY quirk #1)."""
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

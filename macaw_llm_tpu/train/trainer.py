@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from macaw_llm_tpu.config import Config, ModelConfig, TrainConfig
 from macaw_llm_tpu.models import fusion
-from macaw_llm_tpu.parallel.mesh import batch_sharding, replicated
+
 from macaw_llm_tpu.parallel.sharding import (infer_shardings,
                                               opt_state_shardings)
 from macaw_llm_tpu.train.state import (TrainState, merge_params,
