@@ -52,6 +52,7 @@ class Request:
     video: Optional[np.ndarray] = None      # uint8 [F, H, W, 3]
     max_new_tokens: int = 128
     temperature: float = 0.0
+    stream_cb: Optional[object] = None      # callable(token_id) per token
     _done: threading.Event = field(default_factory=threading.Event)
     _result: Optional[dict] = None
 
@@ -271,10 +272,42 @@ def make_handler(engine: InferenceEngine, cfg: Config):
                     image=image, audio=audio, video=video,
                     max_new_tokens=int(payload.get("max_new_tokens", 128)),
                     temperature=float(payload.get("temperature", 0.0)))
+                if payload.get("stream"):
+                    self._stream(req)
+                    return
                 result = engine.generate_sync(req)
                 self._send(200 if "error" not in result else 500, result)
             except Exception as e:  # noqa: BLE001
                 self._send(400, {"error": str(e)})
+
+        def _stream(self, req: Request):
+            """Chunked transfer: one JSON line per generated token, then a
+            final line with the full result."""
+            self.send_response(200)
+            self.send_header("Content-Type", "application/jsonl")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            lock = threading.Lock()
+
+            def write_chunk(obj):
+                data = (json.dumps(obj) + "\n").encode()
+                with lock:
+                    self.wfile.write(f"{len(data):x}\r\n".encode())
+                    self.wfile.write(data + b"\r\n")
+                    self.wfile.flush()
+
+            def on_tok(tok_id: int):
+                piece = (engine.tokenizer.decode(
+                    [tok_id], skip_special_tokens=True)
+                    if hasattr(engine.tokenizer, "decode") else str(tok_id))
+                write_chunk({"token": tok_id, "text": piece})
+
+            req.stream_cb = on_tok
+            result = engine.generate_sync(req)
+            write_chunk({"done": True, **result})
+            with lock:
+                self.wfile.write(b"0\r\n\r\n")
+                self.wfile.flush()
 
     return Handler
 
@@ -491,6 +524,8 @@ class ContinuousEngine:
         self._generated[slot] = [int(tok)]
         self._budget[slot] = min(req.max_new_tokens, self.max_new) - 1
         self.stats["admitted"] += 1
+        if req.stream_cb is not None and int(tok) != EOS_ID:
+            req.stream_cb(int(tok))
         if int(tok) == EOS_ID or self._budget[slot] <= 0:
             self._finish(slot)
 
@@ -541,5 +576,8 @@ class ContinuousEngine:
                 tok = int(toks[slot])
                 self._generated[slot].append(tok)
                 self._budget[slot] -= 1
+                req = self._reqs[slot]
+                if req.stream_cb is not None and tok != EOS_ID:
+                    req.stream_cb(tok)
                 if tok == EOS_ID or self._budget[slot] <= 0:
                     self._finish(slot)

@@ -178,3 +178,23 @@ class TestContinuousBatching:
                 assert got == exp, (p, got, exp)
         finally:
             eng.stop()
+
+
+class TestStreaming:
+    def test_streamed_tokens_match_result(self, setup):
+        from macaw_llm_tpu.serve import ContinuousEngine, Request
+        cfg, params = setup
+        tok = MiniTok()
+        eng = ContinuousEngine(params, cfg, tok, slots=2,
+                               prompt_bucket=32, max_new_tokens=4)
+        eng.start()
+        try:
+            streamed = []
+            out = eng.generate_sync(
+                Request(prompt="stream these tokens", max_new_tokens=4,
+                        stream_cb=streamed.append), timeout=900)
+            assert "text" in out
+            # every non-EOS token was streamed, in order
+            assert tok.decode(streamed) == out["text"]
+        finally:
+            eng.stop()
