@@ -64,33 +64,44 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _load_state_dict(ckpt_dir: str) -> dict:
+    """HF checkpoint dir -> flat state dict. Prefers .safetensors (read
+    with the torch-free numpy reader, incl. sharded index files); falls
+    back to pytorch_model.bin."""
+    import glob as _glob
+    from macaw_llm_tpu.utils.safetensors_io import load_safetensors
+    st_files = sorted(_glob.glob(os.path.join(ckpt_dir, "*.safetensors")))
+    if st_files:
+        sd = {}
+        for f in st_files:
+            sd.update(load_safetensors(f))
+        return sd
+    import torch
+    return torch.load(os.path.join(ckpt_dir, "pytorch_model.bin"),
+                      map_location="cpu")
+
+
 def load_pretrained(cfg: Config, args) -> dict:
     """Compose the fusion model, loading pretrained towers when given
     (the working version of run_clm_llms.py:478-483)."""
     rng = jax.random.PRNGKey(cfg.train.seed)
     params = fusion.init_params(rng, cfg.model)
     if args.llama_weights:
-        import torch
         from macaw_llm_tpu.utils.hf_import import (import_llama,
                                                    resize_token_embeddings)
-        sd = torch.load(os.path.join(args.llama_weights,
-                                     "pytorch_model.bin"), map_location="cpu")
-        llm = import_llama(sd, cfg.model.llm)
+        llm = import_llama(_load_state_dict(args.llama_weights),
+                           cfg.model.llm)
         params["llm"] = resize_token_embeddings(llm,
                                                 cfg.model.llm.vocab_size)
     if args.clip_weights:
-        import torch
         from macaw_llm_tpu.utils.hf_import import import_clip_vision
-        sd = torch.load(os.path.join(args.clip_weights,
-                                     "pytorch_model.bin"), map_location="cpu")
+        sd = _load_state_dict(args.clip_weights)
         params["image_encoder"] = import_clip_vision(sd, cfg.model.vision)
         params["video_encoder"] = import_clip_vision(sd, cfg.model.vision)
     if args.whisper_weights:
-        import torch
         from macaw_llm_tpu.utils.hf_import import import_whisper_encoder
-        sd = torch.load(os.path.join(args.whisper_weights,
-                                     "pytorch_model.bin"), map_location="cpu")
-        params["audio_encoder"] = import_whisper_encoder(sd, cfg.model.audio)
+        params["audio_encoder"] = import_whisper_encoder(
+            _load_state_dict(args.whisper_weights), cfg.model.audio)
     return params
 
 

@@ -65,3 +65,57 @@ def test_fusion_modules_export_reimport():
     np.testing.assert_allclose(
         np.asarray(back["bias_k"]),
         np.asarray(params["fusion"]["video_align"]["bias_k"]), rtol=1e-6)
+
+
+class TestSafetensorsIO:
+    def test_roundtrip(self, tmp_path):
+        from macaw_llm_tpu.utils.safetensors_io import (load_safetensors,
+                                                        save_safetensors)
+        rng = np.random.RandomState(0)
+        tensors = {
+            "a.weight": rng.randn(4, 8).astype(np.float32),
+            "b.bias": rng.randn(16).astype(np.float16),
+            "c.ids": np.arange(6, dtype=np.int64).reshape(2, 3),
+        }
+        p = str(tmp_path / "t.safetensors")
+        save_safetensors(tensors, p)
+        back = load_safetensors(p)
+        assert set(back) == set(tensors)
+        for k in tensors:
+            np.testing.assert_array_equal(back[k], tensors[k])
+
+    def test_matches_reference_library_format(self, tmp_path):
+        """Files we write load with the official safetensors library and
+        vice versa (incl. a bf16 tensor through torch)."""
+        try:
+            from safetensors.torch import load_file, save_file
+        except ImportError:
+            import pytest
+            pytest.skip("safetensors not installed")
+        from macaw_llm_tpu.utils.safetensors_io import (load_safetensors,
+                                                        save_safetensors)
+        rng = np.random.RandomState(1)
+        ours = {"x": rng.randn(3, 5).astype(np.float32)}
+        p1 = str(tmp_path / "ours.safetensors")
+        save_safetensors(ours, p1)
+        theirs = load_file(p1)
+        np.testing.assert_allclose(theirs["x"].numpy(), ours["x"])
+
+        p2 = str(tmp_path / "theirs.safetensors")
+        save_file({"y": torch.randn(2, 2, dtype=torch.bfloat16)}, p2)
+        back = load_safetensors(p2)
+        assert back["y"].dtype == np.float32  # bf16 upconverted
+
+    def test_llama_import_from_safetensors(self, tmp_path):
+        """export -> safetensors file -> import_llama (numpy path, no
+        torch) gives identical params."""
+        from macaw_llm_tpu.utils.safetensors_io import (load_safetensors,
+                                                        save_safetensors)
+        params = llama.init_params(jax.random.PRNGKey(3), CFG)
+        sd = export_llama(params, CFG)
+        p = str(tmp_path / "model.safetensors")
+        save_safetensors(sd, p)
+        back = import_llama(load_safetensors(p), CFG)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
