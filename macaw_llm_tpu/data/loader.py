@@ -34,15 +34,22 @@ from macaw_llm_tpu.data.datasets import TokenizedDataset
 from macaw_llm_tpu.image.preprocess import sample_frame_indices
 
 
-def load_wav(path: str, target_len: int = N_SAMPLES) -> np.ndarray:
-    """16 kHz mono PCM16 WAV -> fp32 waveform, padded/trimmed to 30 s
+SAMPLE_RATE = 16000
+
+
+def load_wav(path: str, target_len: int = N_SAMPLES,
+             target_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """WAV -> fp32 mono waveform at target_rate, padded/trimmed to 30 s
     (whisper load_audio + pad_or_trim semantics, llm_trainer.py:335-338).
+    Non-16 kHz sources are resampled (linear interpolation — whisper uses
+    ffmpeg's resampler; documented divergence) instead of silently
+    mis-featurized.
 
     Uses the native C++ decoder (native/libmacaw_media.so) when built,
     falling back to the stdlib ``wave`` module."""
     from macaw_llm_tpu.data import native
     if native.available():
-        out = native.load_wav(path, target_len)
+        out = native.load_wav(path, target_len, target_rate)
         if out is not None:
             return out
     with wave.open(path, "rb") as w:
@@ -50,6 +57,7 @@ def load_wav(path: str, target_len: int = N_SAMPLES) -> np.ndarray:
         raw = w.readframes(n)
         sw = w.getsampwidth()
         ch = w.getnchannels()
+        rate = w.getframerate()
     if sw == 2:
         audio = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
     elif sw == 4:
@@ -58,6 +66,12 @@ def load_wav(path: str, target_len: int = N_SAMPLES) -> np.ndarray:
         audio = np.frombuffer(raw, np.uint8).astype(np.float32) / 128.0 - 1.0
     if ch > 1:
         audio = audio.reshape(-1, ch).mean(axis=1)
+    if rate != target_rate and rate > 0 and audio.shape[0] > 1:
+        n_new = int(round(audio.shape[0] * target_rate / rate))
+        audio = np.interp(
+            np.arange(n_new, dtype=np.float64) * rate / target_rate,
+            np.arange(audio.shape[0], dtype=np.float64),
+            audio).astype(np.float32)
     if audio.shape[0] >= target_len:
         return audio[:target_len]
     return np.pad(audio, (0, target_len - audio.shape[0]))

@@ -145,12 +145,25 @@ int macaw_decode_jpeg_crop(const uint8_t* data, long len, int target,
   return 0;
 }
 
-// Read a RIFF/WAVE file (PCM16/PCM32/float32, any channel count),
-// downmix to mono, pad-or-trim to `target_len` samples into `out`.
+// Read a RIFF/WAVE file (PCM8/PCM16/PCM32 or float32, 1-16 channels),
+// downmix to mono, linearly resample to `target_rate`, and pad-or-trim
+// to `target_len` samples into `out` (the whisper load_audio +
+// pad_or_trim contract, reference llm_trainer.py:335-338 — whisper
+// resamples via ffmpeg; linear interpolation here is the documented
+// divergence, adequate for speech features).
 // Returns the source sample rate on success, negative on error.
-int macaw_load_wav(const char* path, float* out, long target_len) {
+// All header fields are validated before use and every allocation is
+// bounded by the actual file size, so malformed/hostile WAV bytes get an
+// error code instead of SIGFPE/OOM (this function is reachable from the
+// HTTP serving endpoint via audio_b64).
+int macaw_load_wav(const char* path, float* out, long target_len,
+                   int target_rate) {
+  if (target_len <= 0 || target_rate <= 0) return -6;
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  const long file_size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
   char riff[4], wave[4];
   uint32_t riff_size;
   if (std::fread(riff, 1, 4, f) != 4 || std::memcmp(riff, "RIFF", 4) ||
@@ -185,28 +198,46 @@ int macaw_load_wav(const char* path, float* out, long target_len) {
       std::fseek(f, (sz + 1) & ~1u, SEEK_CUR);
     }
   }
-  if (data_pos < 0 || channels == 0) {
+  // fmt-chunk validation: PCM(1) 8/16/32-bit or IEEE-float(3) 32-bit,
+  // sane channel count and rate; declared data length clamped to what the
+  // file actually holds (attacker-controlled data_len must not drive the
+  // allocation).
+  const bool fmt_ok =
+      (fmt == 1 && (bits == 8 || bits == 16 || bits == 32)) ||
+      (fmt == 3 && bits == 32);
+  if (data_pos < 0 || !fmt_ok || channels < 1 || channels > 16 ||
+      rate < 1000 || rate > 192000) {
     std::fclose(f);
     return -4;
   }
+  if (data_pos + static_cast<long>(data_len) > file_size) {
+    data_len = static_cast<uint32_t>(file_size - data_pos);
+  }
   std::fseek(f, data_pos, SEEK_SET);
   const int bytes_per = bits / 8;
-  const long n_frames = data_len / (bytes_per * channels);
-  std::vector<uint8_t> raw(data_len);
-  if (std::fread(raw.data(), 1, data_len, f) != data_len) {
+  const long frame_bytes = static_cast<long>(bytes_per) * channels;
+  long n_frames = static_cast<long>(data_len) / frame_bytes;
+  // only read the frames the resampled output can consume
+  const long needed = static_cast<long>(
+      static_cast<double>(target_len) * rate / target_rate) + 2;
+  n_frames = std::min(n_frames, needed);
+  const size_t read_bytes = static_cast<size_t>(n_frames) * frame_bytes;
+  std::vector<uint8_t> raw(read_bytes);
+  if (std::fread(raw.data(), 1, read_bytes, f) != read_bytes) {
     std::fclose(f);
     return -5;
   }
   std::fclose(f);
 
-  const long n_out = std::min<long>(n_frames, target_len);
-  for (long i = 0; i < n_out; ++i) {
+  std::vector<float> mono(static_cast<size_t>(std::max<long>(n_frames, 1)),
+                          0.0f);
+  for (long i = 0; i < n_frames; ++i) {
     float acc = 0.0f;
     for (int c = 0; c < channels; ++c) {
       const uint8_t* p = raw.data()
           + (static_cast<size_t>(i) * channels + c) * bytes_per;
       float v = 0.0f;
-      if (fmt == 3 && bits == 32) {          // IEEE float
+      if (fmt == 3) {                        // IEEE float32
         std::memcpy(&v, p, 4);
       } else if (bits == 16) {
         int16_t s;
@@ -216,14 +247,33 @@ int macaw_load_wav(const char* path, float* out, long target_len) {
         int32_t s;
         std::memcpy(&s, p, 4);
         v = s / 2147483648.0f;
-      } else if (bits == 8) {
+      } else {                               // PCM8 is unsigned
         v = (p[0] - 128) / 128.0f;
       }
       acc += v;
     }
-    out[i] = acc / channels;
+    mono[i] = acc / channels;
   }
-  for (long i = n_out; i < target_len; ++i) out[i] = 0.0f;
+
+  if (static_cast<int>(rate) == target_rate) {
+    const long n_out = std::min(n_frames, target_len);
+    std::memcpy(out, mono.data(), static_cast<size_t>(n_out) * 4);
+    for (long i = n_out; i < target_len; ++i) out[i] = 0.0f;
+  } else {
+    const double step = static_cast<double>(rate) / target_rate;
+    for (long i = 0; i < target_len; ++i) {
+      const double pos = i * step;
+      const long i0 = static_cast<long>(pos);
+      if (i0 + 1 < n_frames) {
+        const float w = static_cast<float>(pos - i0);
+        out[i] = mono[i0] + (mono[i0 + 1] - mono[i0]) * w;
+      } else if (i0 < n_frames) {
+        out[i] = mono[i0];
+      } else {
+        out[i] = 0.0f;
+      }
+    }
+  }
   return static_cast<int>(rate);
 }
 

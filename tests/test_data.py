@@ -244,3 +244,56 @@ class TestNativeLoader:
         out = load_image(p, 224)
         assert out.shape == (224, 224, 3)
         assert abs(int(out.mean()) - 77) <= 2
+
+    @staticmethod
+    def _raw_wav(fmt=1, ch=1, rate=16000, bits=16, data=b""):
+        import struct
+        fmt_chunk = struct.pack("<HHIIHH", fmt, ch, rate,
+                                rate * ch * max(bits, 1) // 8,
+                                ch * max(bits, 1) // 8, bits)
+        body = (b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def test_malformed_wav_rejected_not_crash(self, tmp_path):
+        """bits_per_sample=0 used to SIGFPE the whole process (remotely
+        reachable via serve audio_b64); must now return None."""
+        from macaw_llm_tpu.data import native
+        for kw in ({"bits": 0}, {"ch": 0}, {"ch": 99}, {"rate": 5},
+                   {"fmt": 7}, {"fmt": 3, "bits": 16}):
+            p = str(tmp_path / "bad.wav")
+            with open(p, "wb") as f:
+                f.write(self._raw_wav(data=b"\x00" * 64, **kw))
+            assert native.load_wav(p, 480000) is None, kw
+
+    def test_oversized_declared_data_len_bounded(self, tmp_path):
+        """Attacker-declared 4GB data chunk in a tiny file must be clamped
+        to the real file size, not drive the allocation."""
+        import struct
+        from macaw_llm_tpu.data import native
+        raw = self._raw_wav(data=b"\x00\x01" * 100)
+        raw = raw.replace(struct.pack("<I", 200),
+                          struct.pack("<I", 0xFFFFFF00), 1)
+        p = str(tmp_path / "huge.wav")
+        with open(p, "wb") as f:
+            f.write(raw)
+        out = native.load_wav(p, 480000)
+        assert out is not None and out.shape == (480000,)
+
+    def test_non_16k_wav_resampled(self, tmp_path):
+        """8 kHz source must be resampled to 16 kHz (1 s in -> 2 s of
+        signal out), identically by the native and Python paths."""
+        from macaw_llm_tpu.data import native
+        import macaw_llm_tpu.data.native as native_mod
+        from macaw_llm_tpu.data.loader import load_wav as py_load
+        p = str(tmp_path / "r8.wav")
+        _write_wav(p, n=8000, sr=8000)
+        nat = native.load_wav(p, 480000)
+        native_mod._LIB, native_mod._TRIED = None, True  # force py path
+        try:
+            py = py_load(p)
+        finally:
+            native_mod._TRIED = False
+        assert abs(nat[:16000]).max() > 0.2
+        assert (nat[16100:] == 0).all()
+        np.testing.assert_allclose(nat, py, atol=1e-4)
