@@ -30,29 +30,47 @@ class GenerateResult(NamedTuple):
 
 
 def _sample(logits: jnp.ndarray, rng: Optional[jax.Array],
-            temperature: float, top_k: int) -> jnp.ndarray:
-    """Next-token choice from [B, V] logits. Greedy when temperature==0."""
-    if temperature == 0.0 or rng is None:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits / temperature
+            temperature, top_k: int) -> jnp.ndarray:
+    """Next-token choice from [B, V] logits.
+
+    ``temperature`` may be a scalar or a per-row [B] array (traced) —
+    rows with temperature == 0 decode greedily even when batched with
+    sampling rows, preserving per-request semantics. Greedy everywhere
+    when ``rng`` is None."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if rng is None:
+        return greedy
+    temp = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32), greedy.shape)     # [B]
+    scaled = logits.astype(jnp.float32) / jnp.maximum(temp, 1e-6)[:, None]
     if top_k > 0:
-        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
-        logits = jnp.where(logits < kth, jnp.finfo(jnp.float32).min, logits)
-    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+        kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
+        scaled = jnp.where(scaled < kth, jnp.finfo(jnp.float32).min,
+                           scaled)
+    sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+    return jnp.where(temp > 0.0, sampled, greedy)
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "eos_id",
-                                   "pad_id", "temperature", "top_k"))
+                                   "pad_id", "top_k"))
 def generate(params: dict, cfg: LlamaConfig, *,
              inputs_embeds: jnp.ndarray,
              attention_mask: Optional[jnp.ndarray] = None,
              max_new_tokens: int = 128,
              eos_id: int = EOS_ID,
              pad_id: int = PAD_ID,
-             temperature: float = 0.0,
+             temperature=0.0,
              top_k: int = 0,
-             rng: Optional[jax.Array] = None) -> GenerateResult:
-    """Generate from fused embeddings. inputs_embeds [B, S, H]."""
+             rng: Optional[jax.Array] = None,
+             budgets: Optional[jnp.ndarray] = None) -> GenerateResult:
+    """Generate from fused embeddings. inputs_embeds [B, S, H].
+
+    ``budgets`` is an optional per-row [B] int32 cap on generated tokens
+    (<= max_new_tokens): a row is finished once its budget is exhausted
+    and emits PAD afterwards, and the decode loop exits as soon as every
+    row is finished — batching a short request with long ones never
+    spends decode steps past the longest *requested* budget.
+    ``temperature`` may be per-row (see _sample)."""
     b, s, _ = inputs_embeds.shape
     total = s + max_new_tokens
     dtype = inputs_embeds.dtype
@@ -92,10 +110,15 @@ def generate(params: dict, cfg: LlamaConfig, *,
         step: jnp.ndarray         # scalar int32
         rng: jax.Array
 
+    if budgets is None:
+        budgets = jnp.full((b,), max_new_tokens, jnp.int32)
+    else:
+        budgets = jnp.minimum(budgets.astype(jnp.int32), max_new_tokens)
+
     out0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
     out0 = out0.at[:, 0].set(jnp.where(next_tok == eos_id, eos_id, next_tok))
     state = State(cache=cache, tok=next_tok, out=out0,
-                  finished=(next_tok == eos_id),
+                  finished=(next_tok == eos_id) | (budgets <= 1),
                   step=jnp.ones((), jnp.int32),
                   rng=rng if rng is not None else jax.random.PRNGKey(0))
 
@@ -109,10 +132,12 @@ def generate(params: dict, cfg: LlamaConfig, *,
             params, cfg, inputs_embeds=emb, attention_mask=full_mask,
             positions=pos, kv_cache=st.cache, dtype=dtype)
         rng, sub = jax.random.split(st.rng)
-        nxt = _sample(logits[:, -1], sub, temperature, top_k)
+        nxt = _sample(logits[:, -1], sub if rng is not None else None,
+                      temperature, top_k)
         nxt = jnp.where(st.finished, pad_id, nxt)
         out = st.out.at[:, st.step].set(nxt)
-        finished = st.finished | (nxt == eos_id)
+        finished = (st.finished | (nxt == eos_id)
+                    | (st.step + 1 >= budgets))
         return State(cache=cache, tok=jnp.where(st.finished, pad_id, nxt),
                      out=out, finished=finished, step=st.step + 1, rng=rng)
 

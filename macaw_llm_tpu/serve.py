@@ -5,15 +5,19 @@ The reference has no serving path (its inference script is an offline eval
 loop, run_clm_llms_inference.py). This server turns the fused
 prefill+decode into a request/response service:
 
-  * request queue + background batcher: requests are grouped up to
-    ``max_batch`` or ``batch_timeout_ms``, padded to a shared bucketed
-    prompt length (no per-request recompiles), run as ONE fused prefill +
-    greedy/sampled decode, and fanned back out
+  * ContinuousEngine (default): slot-based continuous batching —
+    admission prefill on its own thread, per-slot budgets/temperatures,
+    token streaming
+  * InferenceEngine (--static): request queue + background batcher —
+    requests are grouped up to ``max_batch`` or ``batch_timeout_ms``,
+    padded to a shared bucketed prompt length (no per-request
+    recompiles), run as ONE fused prefill + decode with per-row
+    temperature and token budgets, and fanned back out
   * media: base64 WAV audio, base64 JPEG image, or absent (zeros — the
     reference's absent-modality semantics)
   * stdlib-only HTTP (POST /generate, GET /healthz); JSON in/out
 
-Programmatic use (no HTTP) goes through ``InferenceEngine.generate_sync``.
+Programmatic use (no HTTP) goes through ``Engine.generate_sync``.
 """
 
 from __future__ import annotations
@@ -59,6 +63,9 @@ class Request:
 
 class InferenceEngine:
     """Owns the model params and the batching loop."""
+
+    supports_streaming = False  # one jitted generate() call per batch —
+                                # no per-token callback; use ContinuousEngine
 
     def __init__(self, params: dict, cfg: Config, tokenizer,
                  max_batch: int = 8, batch_timeout_ms: float = 20.0,
@@ -167,15 +174,25 @@ class InferenceEngine:
         fused = self._fuse(jnp.asarray(ids), jnp.asarray(images),
                            jnp.asarray(audios), jnp.asarray(videos),
                            jnp.asarray(mask))
-        temperature = max((r.temperature for r in batch), default=0.0)
+        # per-request semantics: each row keeps its own temperature
+        # (greedy rows stay greedy when batched with sampling rows) and
+        # its own token budget (dummy pad rows get budget 1 so they never
+        # hold the batch open).
+        temps = np.zeros((b,), np.float32)
+        budgets = np.ones((b,), np.int32)
+        for i, r in enumerate(batch):
+            temps[i] = r.temperature
+            budgets[i] = max(1, min(r.max_new_tokens, self.max_new_tokens))
+        any_sampling = bool((temps > 0).any())
         out = generate(self.params["llm"], mcfg.llm,
                        inputs_embeds=fused.inputs_embeds,
                        attention_mask=fused.attention_mask,
                        max_new_tokens=self.max_new_tokens,
                        eos_id=EOS_ID, pad_id=PAD_ID,
-                       temperature=temperature,
+                       temperature=jnp.asarray(temps),
+                       budgets=jnp.asarray(budgets),
                        rng=jax.random.PRNGKey(int(time.time() * 1e3) % 2**31)
-                       if temperature > 0 else None)
+                       if any_sampling else None)
         toks = np.asarray(out.tokens)
         dt = time.perf_counter() - t0
 
@@ -273,6 +290,11 @@ def make_handler(engine: InferenceEngine, cfg: Config):
                     max_new_tokens=int(payload.get("max_new_tokens", 128)),
                     temperature=float(payload.get("temperature", 0.0)))
                 if payload.get("stream"):
+                    if not getattr(engine, "supports_streaming", False):
+                        self._send(400, {
+                            "error": "streaming requires the continuous "
+                                     "engine (run serve without --static)"})
+                        return
                     self._stream(req)
                     return
                 result = engine.generate_sync(req)
@@ -316,7 +338,7 @@ def serve(params: dict, cfg: Config, tokenizer, *, host: str = "0.0.0.0",
           port: int = 8000, max_batch: int = 8,
           batch_timeout_ms: float = 20.0,
           max_new_tokens: int = 128,
-          continuous: bool = False) -> ThreadingHTTPServer:
+          continuous: bool = True) -> ThreadingHTTPServer:
     if continuous:
         engine = ContinuousEngine(params, cfg, tokenizer, slots=max_batch,
                                   max_new_tokens=max_new_tokens)
@@ -347,9 +369,12 @@ def main(argv=None):
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--batch-timeout-ms", type=float, default=20.0)
     p.add_argument("--max-new-tokens", type=int, default=128)
+    p.add_argument("--static", action="store_true",
+                   help="static request batcher (higher batch throughput, "
+                        "no streaming) instead of the default continuous "
+                        "batching engine")
     p.add_argument("--continuous", action="store_true",
-                   help="slot-based continuous batching instead of the "
-                        "static batcher")
+                   help="(default) slot-based continuous batching")
     args = p.parse_args(argv)
 
     cfg = load_config(args.checkpoint) or Config()
@@ -360,7 +385,7 @@ def main(argv=None):
                    max_batch=args.max_batch,
                    batch_timeout_ms=args.batch_timeout_ms,
                    max_new_tokens=args.max_new_tokens,
-                   continuous=args.continuous)
+                   continuous=not args.static)
     server.serve_forever()
 
 
@@ -379,7 +404,21 @@ class ContinuousEngine:
     slot — new arrivals never wait for the current batch to finish, unlike
     the static batcher above. Per-slot cache positions use the decoder's
     vector cache lengths.
+
+    Real continuous-batching properties:
+      * prefill runs on a dedicated admission thread, so the decode loop
+        never stalls while a new request's (multi-hundred-ms) fused
+        prefill computes — the decode thread only performs the cheap
+        cache scatter when a prefilled request lands in a free slot
+      * token readback is pipelined: decode step N+1 is dispatched before
+        step N's tokens are copied host-side, overlapping the device→host
+        transfer with compute (a finished slot may burn one extra masked
+        step — bounded waste, never wrong output)
+      * per-slot temperature: greedy and sampling requests share the
+        batch without contaminating each other
     """
+
+    supports_streaming = True
 
     def __init__(self, params: dict, cfg: Config, tokenizer, *,
                  slots: int = 8, prompt_bucket: int = 128,
@@ -407,9 +446,16 @@ class ContinuousEngine:
         self._reqs: List[Optional[Request]] = [None] * slots
         self._generated: List[List[int]] = [[] for _ in range(slots)]
         self._budget = np.zeros(slots, np.int64)
+        self._temps = np.zeros(slots, np.float32)
+        self._slot_gen = [0] * slots    # guards pipelined readback after
+                                        # a slot is recycled
         self.queue: "queue.Queue[Request]" = queue.Queue()
+        self._admit_q: "queue.Queue[tuple]" = queue.Queue(maxsize=slots)
         self._stop = threading.Event()
+        self._key = jax.random.PRNGKey(int(time.time() * 1e3) % 2**31)
         self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._prefill_thread = threading.Thread(target=self._prefill_loop,
+                                                daemon=True)
         self.stats = {"requests": 0, "steps": 0, "admitted": 0}
 
         self._prefill_fn = None
@@ -418,10 +464,13 @@ class ContinuousEngine:
     # -------------------- lifecycle / API --------------------
 
     def start(self):
+        self._build_fns()
+        self._prefill_thread.start()
         self._thread.start()
 
     def stop(self):
         self._stop.set()
+        self._prefill_thread.join(timeout=60)
         self._thread.join(timeout=60)
 
     def generate_sync(self, req: Request, timeout: float = 600.0) -> dict:
@@ -437,7 +486,7 @@ class ContinuousEngine:
         L = self._L
 
         @jax.jit
-        def prefill(params, ids, images, audios, videos, mask):
+        def prefill(params, ids, images, audios, videos, mask, temp, rng):
             fused = fusion.prepare_inputs(
                 params, mcfg, input_ids=ids, images=images, audios=audios,
                 videos=videos, attention_mask=mask)
@@ -458,8 +507,13 @@ class ContinuousEngine:
             last = jnp.max(fused.attention_mask.astype(jnp.int32)
                            * jnp.arange(fused.attention_mask.shape[1]
                                         )[None, :], axis=1)
-            first_tok = jnp.argmax(jnp.take_along_axis(
-                logits, last[:, None, None], axis=1)[:, 0], -1)
+            first_logits = jnp.take_along_axis(
+                logits, last[:, None, None], axis=1)[:, 0]       # [1, V]
+            greedy = jnp.argmax(first_logits, -1)
+            scaled = first_logits.astype(jnp.float32) \
+                / jnp.maximum(temp, 1e-6)
+            sampled = jax.random.categorical(rng, scaled, axis=-1)
+            first_tok = jnp.where(temp > 0, sampled, greedy)
             return cache.k[:, 0], cache.v[:, 0], \
                 first_tok[0].astype(jnp.int32), last[0] + 1
 
@@ -477,12 +531,19 @@ class ContinuousEngine:
             return cache_k, cache_v, lengths, toks
 
         @jax.jit
-        def step(params, cache_k, cache_v, lengths, toks, active):
+        def step(params, cache_k, cache_v, lengths, toks, active, temps,
+                 key, step_idx):
             cache = L.KVCache(k=cache_k, v=cache_v, length=lengths)
             logits, cache = L.forward(
                 params["llm"], mcfg.llm, input_ids=toks[:, None],
                 kv_cache=cache, dtype=jnp.dtype(mcfg.dtype))
-            nxt = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+            greedy = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+            rng = jax.random.fold_in(key, step_idx)
+            scaled = logits[:, 0].astype(jnp.float32) \
+                / jnp.maximum(temps, 1e-6)[:, None]
+            sampled = jax.random.categorical(rng, scaled,
+                                             axis=-1).astype(jnp.int32)
+            nxt = jnp.where(temps > 0, sampled, greedy)
             new_lengths = jnp.where(active, cache.length, lengths)
             new_toks = jnp.where(active, nxt, toks)
             return cache.k, cache.v, new_lengths, new_toks
@@ -490,9 +551,33 @@ class ContinuousEngine:
         self._prefill_fn, self._admit_fn, self._step_fn = \
             prefill, admit, step
 
-    # -------------------- loop --------------------
+    # -------------------- admission (own thread) --------------------
 
-    def _admit_one(self, slot: int, req: Request):
+    def _prefill_loop(self):
+        """Runs fused prefills off the decode thread; hands completed
+        (req, cache-slice, first-token, length) tuples to the decode loop
+        through a bounded queue."""
+        counter = 0
+        while not self._stop.is_set():
+            try:
+                req = self.queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                counter += 1
+                item = self._run_prefill(req, counter)
+                while not self._stop.is_set():
+                    try:
+                        self._admit_q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+            except Exception as e:  # noqa: BLE001 — fail the request only
+                logger.exception("prefill failed")
+                req._result = {"error": str(e)}
+                req._done.set()
+
+    def _run_prefill(self, req: Request, counter: int):
         mcfg = self.cfg.model
         vis = mcfg.vision
         t = self.tokenizer.encode(format_prompt(req.prompt))
@@ -513,20 +598,32 @@ class ContinuousEngine:
         new_k, new_v, tok, length = self._prefill_fn(
             self.params, jnp.asarray(ids), jnp.asarray(image[None]),
             jnp.asarray(audio[None]), jnp.asarray(video[None]),
-            jnp.asarray(mask))
+            jnp.asarray(mask), jnp.float32(req.temperature),
+            jax.random.fold_in(self._key, counter))
+        # host-sync on the admission thread, NOT the decode loop
+        return (req, new_k, new_v, int(tok), length)
+
+    # -------------------- decode loop --------------------
+
+    def _place(self, slot: int, item) -> None:
+        """Scatter a prefilled request into a free slot (cheap — the
+        expensive prefill already ran on the admission thread)."""
+        req, new_k, new_v, tok, length = item
         onehot = np.zeros((self.slots,), np.int32)
         onehot[slot] = 1
         self.cache_k, self.cache_v, self.lengths, self.toks = \
             self._admit_fn(self.cache_k, self.cache_v, self.lengths,
                            self.toks, jnp.asarray(onehot), new_k, new_v,
-                           length, tok)
+                           length, jnp.int32(tok))
         self._reqs[slot] = req
-        self._generated[slot] = [int(tok)]
+        self._generated[slot] = [tok]
         self._budget[slot] = min(req.max_new_tokens, self.max_new) - 1
+        self._temps[slot] = req.temperature
+        self._slot_gen[slot] += 1
         self.stats["admitted"] += 1
-        if req.stream_cb is not None and int(tok) != EOS_ID:
-            req.stream_cb(int(tok))
-        if int(tok) == EOS_ID or self._budget[slot] <= 0:
+        if req.stream_cb is not None and tok != EOS_ID:
+            req.stream_cb(tok)
+        if tok == EOS_ID or self._budget[slot] <= 0:
             self._finish(slot)
 
     def _finish(self, slot: int):
@@ -542,42 +639,58 @@ class ContinuousEngine:
         self._generated[slot] = []
         self.stats["requests"] += 1
 
+    def _process_readback(self, pending) -> None:
+        """Copy a decode step's tokens host-side and run finish/stream
+        bookkeeping. ``pending`` carries per-slot generation counters so a
+        slot recycled since dispatch is skipped."""
+        toks_dev, items = pending
+        toks = np.asarray(toks_dev)
+        for slot, gen_id in items:
+            if self._slot_gen[slot] != gen_id or self._reqs[slot] is None:
+                continue
+            tok = int(toks[slot])
+            self._generated[slot].append(tok)
+            self._budget[slot] -= 1
+            req = self._reqs[slot]
+            if req.stream_cb is not None and tok != EOS_ID:
+                req.stream_cb(tok)
+            if tok == EOS_ID or self._budget[slot] <= 0:
+                self._finish(slot)
+
     def _loop(self):
-        if self._prefill_fn is None:
-            self._build_fns()
+        pending = None   # (device tokens, [(slot, slot_gen)])
         while not self._stop.is_set():
-            admitted = False
+            placed = False
             for slot in range(self.slots):
                 if self._reqs[slot] is None:
                     try:
-                        req = self.queue.get_nowait()
+                        item = self._admit_q.get_nowait()
                     except queue.Empty:
                         break
-                    try:
-                        self._admit_one(slot, req)
-                        admitted = True
-                    except Exception as e:  # noqa: BLE001
-                        req._result = {"error": str(e)}
-                        req._done.set()
+                    self._place(slot, item)
+                    placed = True
             active_slots = [i for i, r in enumerate(self._reqs)
                             if r is not None]
             if not active_slots:
-                if not admitted:
-                    time.sleep(0.005)
+                if pending is not None:
+                    self._process_readback(pending)
+                    pending = None
+                elif not placed:
+                    time.sleep(0.002)
                 continue
             active = np.zeros((self.slots,), bool)
             active[active_slots] = True
             self.cache_k, self.cache_v, self.lengths, self.toks = \
                 self._step_fn(self.params, self.cache_k, self.cache_v,
-                              self.lengths, self.toks, jnp.asarray(active))
+                              self.lengths, self.toks, jnp.asarray(active),
+                              jnp.asarray(self._temps), self._key,
+                              jnp.int32(self.stats["steps"] % 2**31))
+            new_pending = (self.toks,
+                           [(s, self._slot_gen[s]) for s in active_slots])
             self.stats["steps"] += 1
-            toks = np.asarray(self.toks)
-            for slot in active_slots:
-                tok = int(toks[slot])
-                self._generated[slot].append(tok)
-                self._budget[slot] -= 1
-                req = self._reqs[slot]
-                if req.stream_cb is not None and tok != EOS_ID:
-                    req.stream_cb(tok)
-                if tok == EOS_ID or self._budget[slot] <= 0:
-                    self._finish(slot)
+            # process the PREVIOUS step's tokens while this one computes
+            if pending is not None:
+                self._process_readback(pending)
+            pending = new_pending
+        if pending is not None:
+            self._process_readback(pending)

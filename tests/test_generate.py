@@ -160,3 +160,46 @@ def test_right_padded_prompt_matches_unpadded(params):
                             max_new_tokens=6, eos_id=2, pad_id=0)
     np.testing.assert_array_equal(np.asarray(ref.tokens),
                                   np.asarray(got.tokens))
+
+
+class TestPerRequestSemantics:
+    """Per-row temperature and token budgets in one batched decode."""
+
+    def test_per_row_budgets_pad_and_early_exit(self, params):
+        rng = np.random.RandomState(1)
+        embeds = jnp.asarray(
+            (rng.randn(3, 5, CFG.hidden_size) * 0.02).astype(np.float32))
+        out = generate(params, CFG, inputs_embeds=embeds,
+                       max_new_tokens=16, eos_id=-1, pad_id=-7,
+                       budgets=jnp.asarray([2, 5, 1], np.int32))
+        toks = np.asarray(out.tokens)
+        assert (toks[0, 2:] == -7).all() and (toks[0, :2] != -7).all()
+        assert (toks[1, 5:] == -7).all() and (toks[1, :5] != -7).all()
+        assert (toks[2, 1:] == -7).all()
+        # loop exits at the longest requested budget, not max_new_tokens
+        assert int(out.num_steps) == 5
+
+    def test_greedy_row_unaffected_by_sampling_row(self, params):
+        """A temperature=0 row batched with a hot sampling row must decode
+        exactly as if it were alone (ADVICE serve.py:170)."""
+        rng = np.random.RandomState(2)
+        e = (rng.randn(2, 6, CFG.hidden_size) * 0.02).astype(np.float32)
+        solo = generate(params, CFG,
+                        inputs_embeds=jnp.asarray(e[:1]),
+                        max_new_tokens=10, eos_id=2, pad_id=0)
+        mixed = generate(params, CFG, inputs_embeds=jnp.asarray(e),
+                         max_new_tokens=10, eos_id=2, pad_id=0,
+                         temperature=jnp.asarray([0.0, 1.5], np.float32),
+                         rng=jax.random.PRNGKey(7))
+        np.testing.assert_array_equal(np.asarray(mixed.tokens)[0],
+                                      np.asarray(solo.tokens)[0])
+
+    def test_sampling_rows_vary_with_seed(self, params):
+        rng = np.random.RandomState(3)
+        e = jnp.asarray(
+            (rng.randn(1, 6, CFG.hidden_size) * 0.02).astype(np.float32))
+        outs = [np.asarray(generate(
+            params, CFG, inputs_embeds=e, max_new_tokens=12, eos_id=-1,
+            pad_id=0, temperature=jnp.asarray([2.0], np.float32),
+            rng=jax.random.PRNGKey(s)).tokens) for s in range(4)]
+        assert any(not np.array_equal(outs[0], o) for o in outs[1:])

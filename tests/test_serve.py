@@ -198,3 +198,134 @@ class TestStreaming:
             assert tok.decode(streamed) == out["text"]
         finally:
             eng.stop()
+
+
+class TestPerRequestServing:
+    def test_greedy_request_isolated_from_sampler(self, setup):
+        """One hot (temperature=2) request batched with a greedy one must
+        not change the greedy request's tokens (ADVICE serve.py:170)."""
+        cfg, params = setup
+        eng = InferenceEngine(params, cfg, MiniTok(), max_batch=4,
+                              batch_timeout_ms=300, max_new_tokens=5)
+        eng.start()
+        try:
+            solo = eng.generate_sync(Request(prompt="fixed greedy probe"),
+                                     timeout=600)
+            results = [None, None]
+
+            def worker(i, req):
+                results[i] = eng.generate_sync(req, timeout=600)
+
+            reqs = [Request(prompt="fixed greedy probe"),
+                    Request(prompt="other prompt", temperature=2.0)]
+            ts = [threading.Thread(target=worker, args=(i, r))
+                  for i, r in enumerate(reqs)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(600)
+            assert results[0]["batch_size"] == 2  # actually batched
+            assert results[0]["text"] == solo["text"]
+        finally:
+            eng.stop()
+
+    def test_per_request_budget_no_wasted_steps(self, setup):
+        """A batch whose longest request asks 2 tokens must early-exit
+        rather than decoding the engine-level max budget."""
+        cfg, params = setup
+        eng = InferenceEngine(params, cfg, MiniTok(), max_batch=2,
+                              batch_timeout_ms=200, max_new_tokens=64)
+        eng.start()
+        try:
+            results = [None, None]
+
+            def worker(i):
+                results[i] = eng.generate_sync(
+                    Request(prompt=f"short ask {i}", max_new_tokens=2),
+                    timeout=600)
+
+            ts = [threading.Thread(target=worker, args=(i,))
+                  for i in range(2)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(600)
+            assert all(r["tokens"] <= 2 for r in results)
+        finally:
+            eng.stop()
+
+    def test_stream_rejected_on_static_engine(self, setup):
+        import urllib.error
+        cfg, params = setup
+        server = serve(params, cfg, MiniTok(), host="127.0.0.1", port=0,
+                       max_batch=2, batch_timeout_ms=10, max_new_tokens=4,
+                       continuous=False)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            body = json.dumps({"prompt": "hi", "stream": True}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=body,
+                headers={"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(req, timeout=60)
+                raised = False
+            except urllib.error.HTTPError as e:
+                raised = True
+                assert e.code == 400
+                assert "continuous" in json.loads(e.read())["error"]
+            assert raised
+        finally:
+            server.shutdown()
+            server.engine.stop()
+
+
+class TestAdmissionOverlap:
+    def test_decode_cadence_unaffected_by_slow_prefill(self, setup):
+        """Prefill runs on the admission thread: while request B's prefill
+        is (artificially) slow, request A's decode steps must keep
+        streaming rather than stalling for the admission."""
+        import time as _time
+        from macaw_llm_tpu.serve import ContinuousEngine, Request
+        cfg, params = setup
+        eng = ContinuousEngine(params, cfg, MiniTok(), slots=2,
+                               prompt_bucket=32, max_new_tokens=24)
+        eng.start()
+        # warm the compiled fns with one request
+        eng.generate_sync(Request(prompt="warmup", max_new_tokens=2),
+                          timeout=900)
+        real_prefill = eng._prefill_fn
+        delay = 0.8
+
+        def slow_prefill(*a, **k):
+            _time.sleep(delay)
+            return real_prefill(*a, **k)
+
+        eng._prefill_fn = slow_prefill
+        try:
+            stamps = []
+            out_a = [None]
+
+            def run_a():
+                out_a[0] = eng.generate_sync(
+                    Request(prompt="long running request",
+                            max_new_tokens=24,
+                            stream_cb=lambda t: stamps.append(
+                                _time.perf_counter())),
+                    timeout=900)
+
+            ta = threading.Thread(target=run_a)
+            ta.start()
+            while len(stamps) < 3:   # A is decoding
+                _time.sleep(0.01)
+            eng.generate_sync(Request(prompt="late arrival",
+                                      max_new_tokens=2), timeout=900)
+            ta.join(900)
+            assert out_a[0] is not None and "text" in out_a[0]
+            gaps = np.diff(stamps)
+            # decode cadence: no inter-token gap may swallow the whole
+            # artificial prefill delay
+            assert gaps.max() < delay * 0.75, gaps
+        finally:
+            eng.stop()
