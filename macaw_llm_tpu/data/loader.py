@@ -20,9 +20,8 @@ Semantics preserved from the reference:
 from __future__ import annotations
 
 import os
-import queue
-import threading
 import wave
+from collections import deque
 from dataclasses import dataclass
 from typing import Dict, Iterator, Optional, Sequence
 
@@ -150,7 +149,8 @@ class MediaSource:
 
 
 def _assemble(ds: TokenizedDataset, media: Optional[MediaSource],
-              idx: np.ndarray, accum: int) -> Dict[str, np.ndarray]:
+              idx: np.ndarray, accum: int,
+              pool=None) -> Dict[str, np.ndarray]:
     rows = ds.select(idx)
     n = len(idx)
     out = {
@@ -159,20 +159,41 @@ def _assemble(ds: TokenizedDataset, media: Optional[MediaSource],
         "labels": rows.labels.astype(np.int32),
     }
     if media is not None:
-        out["images"] = np.stack([media.image(i) for i in rows.images])
-        out["audios"] = np.stack([media.audio(i) for i in rows.audios])
-        out["videos"] = np.stack([media.video(i) for i in rows.videos])
+        if pool is not None:
+            # fan the 3*B media decodes over the pool — the native C++
+            # decoder releases the GIL, so this is true parallel decode
+            img_f = [pool.submit(media.image, i) for i in rows.images]
+            aud_f = [pool.submit(media.audio, i) for i in rows.audios]
+            vid_f = [pool.submit(media.video, i) for i in rows.videos]
+            out["images"] = np.stack([f.result() for f in img_f])
+            out["audios"] = np.stack([f.result() for f in aud_f])
+            out["videos"] = np.stack([f.result() for f in vid_f])
+        else:
+            out["images"] = np.stack([media.image(i) for i in rows.images])
+            out["audios"] = np.stack([media.audio(i) for i in rows.audios])
+            out["videos"] = np.stack([media.video(i) for i in rows.videos])
     mb = n // accum
     return {k: v.reshape((accum, mb) + v.shape[1:]) for k, v in out.items()}
 
 
 class BatchLoader:
-    """Shuffled, epoch-aware iterator of device-ready batches with a
-    background prefetch thread pool."""
+    """Shuffled, epoch-aware iterator of device-ready batches.
+
+    Two levels of host parallelism keep the chip fed (the reference's
+    biggest liability is per-step synchronous CPU media work,
+    llm_trainer.py:306-381):
+      * ``num_workers`` decode threads fan out the per-example JPEG/WAV
+        decodes inside every batch (GIL-free via the native decoder)
+      * up to ``prefetch`` whole batches are assembled ahead of the
+        training step, in order, on assembly threads
+
+    The last partial batch of an epoch is always dropped (shapes stay
+    static for XLA): steps_per_epoch = n // (global_batch * processes).
+    """
 
     def __init__(self, ds: TokenizedDataset, media: Optional[MediaSource],
                  global_batch: int, accum: int = 1, seed: int = 0,
-                 prefetch: int = 2, drop_last: bool = True,
+                 prefetch: int = 2, num_workers: int = 8,
                  process_index: int = 0, process_count: int = 1):
         assert global_batch % accum == 0
         self.ds = ds
@@ -180,38 +201,50 @@ class BatchLoader:
         self.global_batch = global_batch
         self.accum = accum
         self.seed = seed
-        self.prefetch = prefetch
+        self.prefetch = max(1, prefetch)
+        self.num_workers = max(1, num_workers)
         self.process_index = process_index
         self.process_count = process_count
         n = len(ds)
         self.steps_per_epoch = n // (global_batch * process_count)
+        self._decode_pool = None
+        self._batch_pool = None
+
+    def _pools(self):
+        from concurrent.futures import ThreadPoolExecutor
+        if self._decode_pool is None:
+            self._decode_pool = ThreadPoolExecutor(
+                max_workers=self.num_workers,
+                thread_name_prefix="macaw-decode")
+            self._batch_pool = ThreadPoolExecutor(
+                max_workers=self.prefetch,
+                thread_name_prefix="macaw-batch")
+        return self._decode_pool, self._batch_pool
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.RandomState(self.seed + epoch)
         perm = rng.permutation(len(self.ds))
         # contiguous per-process shard of the shuffled order
         shard = perm[self.process_index::self.process_count]
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
+        decode_pool, batch_pool = self._pools()
 
-        def worker():
-            try:
-                for step in range(self.steps_per_epoch):
-                    if stop.is_set():
-                        return
-                    idx = shard[step * self.global_batch:
-                                (step + 1) * self.global_batch]
-                    q.put(_assemble(self.ds, self.media, idx, self.accum))
-            finally:
-                q.put(None)
+        def assemble(step: int):
+            idx = shard[step * self.global_batch:
+                        (step + 1) * self.global_batch]
+            return _assemble(self.ds, self.media, idx, self.accum,
+                             pool=decode_pool if self.media is not None
+                             else None)
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        # in-order sliding window of `prefetch` in-flight batch futures
+        pending = deque()
+        next_step = 0
         try:
-            while True:
-                item = q.get()
-                if item is None:
-                    return
-                yield item
+            while next_step < self.steps_per_epoch or pending:
+                while (len(pending) < self.prefetch
+                       and next_step < self.steps_per_epoch):
+                    pending.append(batch_pool.submit(assemble, next_step))
+                    next_step += 1
+                yield pending.popleft().result()
         finally:
-            stop.set()
+            for f in pending:
+                f.cancel()
