@@ -192,3 +192,112 @@ def mix_datasets(rng: np.random.RandomState,
 def load_json(path: str):
     with open(path) as f:
         return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Validation-set builders — produce the {ds}_val_inference.json rows that
+# run_inference consumes (reference preprocess_data_supervised.py:40-93).
+# ---------------------------------------------------------------------------
+
+def build_vqa_val(annotations: List[dict],
+                  questions: List[dict]) -> List[dict]:
+    """VQA v2 val annotations + questions -> inference rows
+    (preprocess_vqa2_to_val_dataset, preprocess_data_supervised.py:40-66).
+    Each row: image path (COCO id zero-padded to 12 digits), video/audio
+    'None', instruction = question, response = multiple_choice_answer."""
+    q_by_id = {e["question_id"]: e["question"] for e in questions}
+    rows = []
+    for e in annotations:
+        image = coco_pad_image_name(e["image_path"])
+        rows.append({
+            "image": image,
+            "video": "None",
+            "audio": "None",
+            "instruction": q_by_id[e["question_id"]],
+            "response": e["multiple_choice_answer"],
+        })
+    return rows
+
+
+def build_avsd_val(metadata: Dict[str, dict],
+                   path: str = "data/avsd/") -> List[dict]:
+    """AVSD val metadata -> one inference row per dialog turn
+    (preprocess_avsd_to_val_dataset, preprocess_data_supervised.py:68-93).
+    video -> {path}/frames/{key}, audio -> {path}/audios/{key}.mp4.wav."""
+    rows = []
+    for key, md in metadata.items():
+        video_dir = os.path.join(path, "frames/{}".format(key))
+        audio_dir = os.path.join(path, "audios/{}.mp4.wav".format(key))
+        for dialog in md["data"]:
+            rows.append({
+                "image": "None",
+                "video": video_dir,
+                "audio": audio_dir,
+                "instruction": dialog["question"],
+                "response": dialog["answer"],
+            })
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# GPT-3.5-generated instruction data (the "unsupervised" variant,
+# reference preprocess_data_unsupervised.py:214-311).
+# ---------------------------------------------------------------------------
+
+def instruction_filter(example: dict) -> bool:
+    """Content filter of the instruction pipeline: drop examples whose
+    instruction mentions 'caption' or whose response contains 'caption',
+    ' no ' or 'not' (reference preprocess_data_unsupervised.py:51,172 —
+    the authors scrub caption-style and negative answers). Returns True
+    when the example should be KEPT."""
+    return not ("caption" in example["instruction"]
+                or "caption" in example["response"]
+                or " no " in example["response"]
+                or "not" in example["response"])
+
+
+def build_instruction_coco(tokenizer, examples: List[dict],
+                           name_table: Dict[str, int],
+                           max_len: int = 256) -> TokenizedDataset:
+    """COCO instruction rows {'id', 'instruction', 'response'} -> image
+    examples (preprocess_coco_to_tensor_dataset,
+    preprocess_data_unsupervised.py:40-92): content-filtered, Alpaca
+    no-input prompt, image index from the instruction name table."""
+    rows = []
+    for e in examples:
+        if not instruction_filter(e):
+            continue
+        idx = name_table.get(e["id"], -1)
+        rows.append((format_prompt(e["instruction"]), e["response"],
+                     idx, -1, -1))
+    return _build(tokenizer, rows, max_len)
+
+
+def build_instruction_avsd(tokenizer, examples: List[dict],
+                           name_table: Dict[str, int],
+                           max_len: int = 256) -> TokenizedDataset:
+    """AVSD instruction rows {'id', 'instruction', 'response'} -> video+
+    audio examples (preprocess_avsd_to_tensor_dataset,
+    preprocess_data_unsupervised.py:156-211): content-filtered; the
+    reference's inline prompt + ' Response:'-split prefix masking is
+    identical to the standard recipe (prompt = Alpaca no-input template,
+    full text = prompt + '\\n {response} \\n\\n'), so tokenize_example is
+    reused. Video and audio share the same name index."""
+    rows = []
+    for e in examples:
+        if not instruction_filter(e):
+            continue
+        idx = name_table.get(e["id"], -1)
+        rows.append((format_prompt(e["instruction"]), e["response"],
+                     -1, idx, idx))
+    return _build(tokenizer, rows, max_len)
+
+
+def build_instruction_name_table(coco_examples: List[dict],
+                                 avsd_examples: List[dict]) -> Dict[str, object]:
+    """Name table over the generated-example ids
+    (combine_visual_and_audio_names, preprocess_data_unsupervised.py:
+    290-306): COCO ids then AVSD ids, unfiltered (the reference indexes
+    the raw example lists)."""
+    return build_name_table([e["id"] for e in coco_examples],
+                            [e["id"] for e in avsd_examples])

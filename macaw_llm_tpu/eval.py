@@ -140,7 +140,11 @@ def batch_inference_generation(
 
 def load_val_examples(path: str, cap: int) -> List[dict]:
     """Read {ds}_val_inference.json, cap example count
-    (run_clm_llms_inference.py:504-508)."""
+    (run_clm_llms_inference.py:504-508). Accepts both formats the
+    reference emits: a bare list (AVSD, preprocess_data_supervised.py:93)
+    or a {'data': [...]} wrapper (VQA, :65-66)."""
     with open(path) as f:
         rows = json.load(f)
+    if isinstance(rows, dict):
+        rows = rows["data"]
     return rows[:cap]

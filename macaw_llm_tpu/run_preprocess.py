@@ -6,7 +6,12 @@ the host; both are gated and reported if missing.
 
 Stage 2 (dataset build): VQA / Alpaca / AVSD JSON -> tokenized npz cache +
 name table (reference preprocess_data_supervised.py:378-451), using the
-exact prompt/masking recipe (see data/datasets.py).
+exact prompt/masking recipe (see data/datasets.py). The
+``build-unsupervised`` variant covers the GPT-3.5-generated instruction
+mixer with its content filters (preprocess_data_unsupervised.py:214-311),
+``build-val`` emits the {ds}_val_inference.json files run_inference
+consumes (preprocess_data_supervised.py:40-93), and ``resize-images`` is
+the 336px thumbnail pass (:362-375).
 
 Usage:
     python -m macaw_llm_tpu.run_preprocess extract-media \
@@ -16,6 +21,15 @@ Usage:
         --vqa data/vqa/train.json --alpaca data/alpaca_data.json \
         --avsd data/avsd/train.json --out data/train_cache.npz \
         --names-out data/all_visual_names.json --per-part 50000
+    python -m macaw_llm_tpu.run_preprocess build-unsupervised \
+        --tokenizer trained_models/llama_tokenizer \
+        --coco data/generated_examples_coco.json \
+        --avsd data/generated_examples_avsd.json \
+        --out data/train_instruction.npz
+    python -m macaw_llm_tpu.run_preprocess build-val \
+        --vqa-annotations data/vqa/mscoco_val2014_annotations.json \
+        --vqa-questions data/vqa/OpenEnded_mscoco_val2014_questions.json \
+        --avsd-metadata data/avsd/avsd_val.json
 """
 
 from __future__ import annotations
@@ -32,8 +46,12 @@ import numpy as np
 
 from macaw_llm_tpu.config import SPECIAL_TOKENS
 from macaw_llm_tpu.data.datasets import (build_alpaca, build_avsd,
+                                         build_avsd_val,
+                                         build_instruction_avsd,
+                                         build_instruction_coco,
+                                         build_instruction_name_table,
                                          build_name_table, build_vqa,
-                                         mix_datasets)
+                                         build_vqa_val, mix_datasets)
 from macaw_llm_tpu.utils.logging import setup_logging
 
 logger = logging.getLogger("macaw.preprocess")
@@ -125,6 +143,100 @@ def build(args):
     return 0
 
 
+def build_unsupervised(args):
+    """GPT-3.5-generated instruction mixer (the reference's
+    preprocess_data_unsupervised.py:214-311): COCO + Alpaca + AVSD
+    instruction examples, content-filtered ('caption'/' no '/'not'),
+    name table over the generated-example ids, npz cache out."""
+    from transformers import AutoTokenizer
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+    tokenizer.add_special_tokens({
+        "additional_special_tokens": list(SPECIAL_TOKENS.keys()),
+        "pad_token": "[PAD]",
+    })
+    if args.tokenizer_out:
+        tokenizer.save_pretrained(args.tokenizer_out)
+
+    coco_rows = json.load(open(args.coco))["data"] if args.coco else []
+    avsd_rows = json.load(open(args.avsd))["data"] if args.avsd else []
+    alpaca_rows = json.load(open(args.alpaca)) if args.alpaca else []
+
+    table = build_instruction_name_table(coco_rows, avsd_rows)
+    if args.names_out:
+        with open(args.names_out, "w") as f:
+            json.dump(table, f)
+
+    parts = []
+    if coco_rows:
+        parts.append(build_instruction_coco(tokenizer, coco_rows,
+                                            table["dict"], args.max_len))
+    if alpaca_rows:
+        parts.append(build_alpaca(tokenizer, alpaca_rows, args.max_len))
+    if avsd_rows:
+        parts.append(build_instruction_avsd(tokenizer, avsd_rows,
+                                            table["dict"], args.max_len))
+    if not parts:
+        logger.error("no input datasets given")
+        return 1
+    rng = np.random.RandomState(args.seed)
+    mixed = mix_datasets(rng, parts, per_part=args.per_part)
+    mixed.save(args.out)
+    logger.info("wrote %d instruction examples to %s", len(mixed), args.out)
+    return 0
+
+
+def build_val(args):
+    """Emit {ds}_val_inference.json for run_inference (the reference's
+    preprocess_vqa2_to_val_dataset / preprocess_avsd_to_val_dataset,
+    preprocess_data_supervised.py:40-93)."""
+    wrote = 0
+    if args.vqa_annotations and args.vqa_questions:
+        ann = json.load(open(args.vqa_annotations))["annotations"]
+        qs = json.load(open(args.vqa_questions))["questions"]
+        rows = build_vqa_val(ann, qs)
+        out = args.vqa_out or "data/vqa/vqa_val_inference.json"
+        os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+        with open(out, "w") as f:
+            json.dump({"data": rows}, f)   # reference wraps VQA (:65-66)
+        logger.info("wrote %d VQA val rows to %s", len(rows), out)
+        wrote += 1
+    if args.avsd_metadata:
+        md = json.load(open(args.avsd_metadata))
+        rows = build_avsd_val(md, path=args.avsd_path)
+        out = args.avsd_out or "data/avsd/avsd_val_inference.json"
+        os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(rows, f)             # reference dumps AVSD bare (:93)
+        logger.info("wrote %d AVSD val rows to %s", len(rows), out)
+        wrote += 1
+    if not wrote:
+        logger.error("no val inputs given")
+        return 1
+    return 0
+
+
+def resize_images(src_dir: str, out_dir: str, size: int = 336):
+    """Thumbnail every image in src_dir to fit size x size (the
+    reference's resize_images utility,
+    preprocess_data_supervised.py:362-375)."""
+    from PIL import Image
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for name in sorted(os.listdir(src_dir)):
+        path = os.path.join(src_dir, name)
+        if not os.path.isfile(path):
+            continue
+        try:
+            with Image.open(path) as im:
+                im.thumbnail((size, size))
+                im.save(os.path.join(out_dir, name))
+            n += 1
+        except OSError:
+            logger.warning("skipping unreadable image %s", name)
+    logger.info("resized %d images into %s", n, out_dir)
+    return 0
+
+
 def main(argv=None):
     setup_logging()
     p = argparse.ArgumentParser(description="Macaw-TPU preprocessing")
@@ -147,10 +259,47 @@ def main(argv=None):
     pb.add_argument("--per-part", type=int, default=50000)
     pb.add_argument("--seed", type=int, default=0)
 
+    pu = sub.add_parser("build-unsupervised",
+                        help="GPT-3.5-generated instruction data "
+                             "(reference preprocess_data_unsupervised.py)")
+    pu.add_argument("--tokenizer", required=True)
+    pu.add_argument("--tokenizer-out", default=None)
+    pu.add_argument("--coco", default=None,
+                    help="generated_examples_coco.json")
+    pu.add_argument("--avsd", default=None,
+                    help="generated_examples_avsd.json")
+    pu.add_argument("--alpaca", default=None)
+    pu.add_argument("--out", required=True)
+    pu.add_argument("--names-out", default=None)
+    pu.add_argument("--max-len", type=int, default=256)
+    pu.add_argument("--per-part", type=int, default=50000)
+    pu.add_argument("--seed", type=int, default=0)
+
+    pv = sub.add_parser("build-val",
+                        help="emit {ds}_val_inference.json for eval")
+    pv.add_argument("--vqa-annotations", default=None)
+    pv.add_argument("--vqa-questions", default=None)
+    pv.add_argument("--vqa-out", default=None)
+    pv.add_argument("--avsd-metadata", default=None)
+    pv.add_argument("--avsd-path", default="data/avsd/")
+    pv.add_argument("--avsd-out", default=None)
+
+    pr = sub.add_parser("resize-images",
+                        help="336px thumbnail pass over a frame dir")
+    pr.add_argument("--src", required=True)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--size", type=int, default=336)
+
     args = p.parse_args(argv)
     if args.cmd == "extract-media":
         extract_media(args.videos, args.out, args.n_frames)
         return 0
+    if args.cmd == "build-unsupervised":
+        return build_unsupervised(args)
+    if args.cmd == "build-val":
+        return build_val(args)
+    if args.cmd == "resize-images":
+        return resize_images(args.src, args.out, args.size)
     return build(args)
 
 

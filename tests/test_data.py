@@ -1,6 +1,7 @@
 """Data pipeline tests: tokenization/masking recipe, templates, name table,
 mixer, loader (synthetic fixtures)."""
 
+import json
 import os
 import tempfile
 import wave
@@ -297,3 +298,148 @@ class TestNativeLoader:
         assert abs(nat[:16000]).max() > 0.2
         assert (nat[16100:] == 0).all()
         np.testing.assert_allclose(nat, py, atol=1e-4)
+
+
+class TestValBuilders:
+    """Val-inference builders (reference preprocess_data_supervised.py:
+    40-93) and the unsupervised instruction pipeline (:214-311)."""
+
+    def test_vqa_val_rows(self):
+        from macaw_llm_tpu.data.datasets import build_vqa_val
+        ann = [{"image_path": "COCO_val2014_42.jpg", "question_id": 7,
+                "multiple_choice_answer": "blue"}]
+        qs = [{"question_id": 7, "image_id": 42,
+               "question": "what color?"}]
+        rows = build_vqa_val(ann, qs)
+        assert rows == [{"image": "COCO_val2014_000000000042.jpg",
+                         "video": "None", "audio": "None",
+                         "instruction": "what color?",
+                         "response": "blue"}]
+
+    def test_avsd_val_rows(self):
+        from macaw_llm_tpu.data.datasets import build_avsd_val
+        md = {"vidA": {"data": [
+            {"question": "q1", "answer": "a1"},
+            {"question": "q2", "answer": "a2"}]}}
+        rows = build_avsd_val(md, path="data/avsd/")
+        assert len(rows) == 2
+        assert rows[0]["video"] == "data/avsd/frames/vidA"
+        assert rows[0]["audio"] == "data/avsd/audios/vidA.mp4.wav"
+        assert rows[0]["image"] == "None"
+        assert rows[1]["instruction"] == "q2"
+
+    def test_val_loader_accepts_both_shapes(self, tmp_path):
+        from macaw_llm_tpu.eval import load_val_examples
+        wrapped = tmp_path / "w.json"
+        bare = tmp_path / "b.json"
+        rows = [{"instruction": "x", "response": "y"}] * 5
+        wrapped.write_text(json.dumps({"data": rows}))
+        bare.write_text(json.dumps(rows))
+        assert len(load_val_examples(str(wrapped), 3)) == 3
+        assert len(load_val_examples(str(bare), 10)) == 5
+
+
+class TestInstructionPipeline:
+    def test_content_filter(self):
+        from macaw_llm_tpu.data.datasets import instruction_filter
+        keep = {"instruction": "describe the scene", "response": "a dog"}
+        assert instruction_filter(keep)
+        # the reference's exact drop conditions (:51,172)
+        assert not instruction_filter(
+            {"instruction": "write a caption", "response": "a dog"})
+        assert not instruction_filter(
+            {"instruction": "x", "response": "image caption here"})
+        assert not instruction_filter(
+            {"instruction": "x", "response": "there is no dog"})
+        assert not instruction_filter(
+            {"instruction": "x", "response": "it is not clear"})
+        # 'not' as substring (reference matches 'nothing' too)
+        assert not instruction_filter(
+            {"instruction": "x", "response": "nothing visible"})
+
+    def test_build_instruction_coco_and_avsd(self):
+        from macaw_llm_tpu.data.datasets import (
+            build_instruction_avsd, build_instruction_coco,
+            build_instruction_name_table)
+        tok = FakeTokenizer()
+        coco = [{"id": "c1", "instruction": "what is shown",
+                 "response": "a tree"},
+                {"id": "c2", "instruction": "write a caption",
+                 "response": "skip me"}]
+        avsd = [{"id": "v1", "instruction": "what happens",
+                 "response": "a man waves"}]
+        table = build_instruction_name_table(coco, avsd)
+        assert table["list"] == ["c1", "c2", "v1"]
+        ds_c = build_instruction_coco(tok, coco, table["dict"], 48)
+        assert len(ds_c) == 1                     # caption row filtered
+        assert ds_c.images[0] == 0 and ds_c.videos[0] == -1
+        ds_v = build_instruction_avsd(tok, avsd, table["dict"], 48)
+        assert len(ds_v) == 1
+        assert ds_v.videos[0] == 2 == ds_v.audios[0]
+        assert ds_v.images[0] == -1
+
+    def test_cli_build_unsupervised_and_val(self, tmp_path, monkeypatch):
+        import macaw_llm_tpu.run_preprocess as rp
+
+        class CLIFakeTokenizer(FakeTokenizer):
+            def add_special_tokens(self, d):
+                return 0
+
+            def save_pretrained(self, path):
+                pass
+
+        monkeypatch.setattr(
+            "transformers.AutoTokenizer.from_pretrained",
+            staticmethod(lambda *_a, **_k: CLIFakeTokenizer()))
+        coco = tmp_path / "coco.json"
+        coco.write_text(json.dumps({"data": [
+            {"id": "c1", "instruction": "what is shown",
+             "response": "a tree"}]}))
+        avsd = tmp_path / "avsd.json"
+        avsd.write_text(json.dumps({"data": [
+            {"id": "v1", "instruction": "what happens",
+             "response": "a man waves"}]}))
+        out = tmp_path / "cache.npz"
+        names = tmp_path / "names.json"
+        rc = rp.main(["build-unsupervised", "--tokenizer", "x",
+                      "--coco", str(coco), "--avsd", str(avsd),
+                      "--out", str(out), "--names-out", str(names)])
+        assert rc == 0
+        ds = TokenizedDataset.load(str(out))
+        assert len(ds) == 2
+        assert json.load(open(names))["list"] == ["c1", "v1"]
+
+        ann = tmp_path / "ann.json"
+        ann.write_text(json.dumps({"annotations": [
+            {"image_path": "COCO_val2014_9.jpg", "question_id": 1,
+             "multiple_choice_answer": "yes"}]}))
+        qs = tmp_path / "qs.json"
+        qs.write_text(json.dumps({"questions": [
+            {"question_id": 1, "question": "really?"}]}))
+        md = tmp_path / "md.json"
+        md.write_text(json.dumps(
+            {"vidA": {"data": [{"question": "q", "answer": "a"}]}}))
+        vout = tmp_path / "vqa_val_inference.json"
+        aout = tmp_path / "avsd_val_inference.json"
+        rc = rp.main(["build-val",
+                      "--vqa-annotations", str(ann),
+                      "--vqa-questions", str(qs), "--vqa-out", str(vout),
+                      "--avsd-metadata", str(md), "--avsd-out", str(aout)])
+        assert rc == 0
+        from macaw_llm_tpu.eval import load_val_examples
+        assert load_val_examples(str(vout), 10)[0]["response"] == "yes"
+        assert load_val_examples(str(aout), 10)[0]["instruction"] == "q"
+
+    def test_cli_resize_images(self, tmp_path):
+        import macaw_llm_tpu.run_preprocess as rp
+        from PIL import Image
+        src = tmp_path / "src"
+        out = tmp_path / "out"
+        src.mkdir()
+        Image.fromarray(
+            np.zeros((700, 500, 3), np.uint8)).save(str(src / "a.jpg"))
+        rc = rp.main(["resize-images", "--src", str(src),
+                      "--out", str(out), "--size", "336"])
+        assert rc == 0
+        with Image.open(str(out / "a.jpg")) as im:
+            assert max(im.size) == 336
