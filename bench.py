@@ -26,8 +26,10 @@ import time
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--profile", default="1b", choices=["1b", "7b", "tiny"])
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--profile", default="7b", choices=["1b", "7b", "tiny"],
+                   help="7b = reference-parity composition "
+                        "(LLaMA-7B + 2xCLIP-B/16 + Whisper-base)")
+    p.add_argument("--batch", type=int, default=16)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--seq", type=int, default=256)
@@ -38,6 +40,11 @@ def main():
     p.add_argument("--max-new-tokens", type=int, default=128)
     p.add_argument("--quantize", default=None, choices=[None, "int8"],
                    help="weight-only quantization for the decode path")
+    p.add_argument("--align-cache", default="int8",
+                   choices=["int8", "bf16", "off"],
+                   help="precomputed alignment K/V projections: int8 "
+                        "(per-row scales, 0.79 GB at 7b), bf16 (1.57 GB), "
+                        "or recompute every step (off)")
     p.add_argument("--trace", default=None,
                    help="capture an xprof trace of the timed region to DIR")
     args = p.parse_args()
@@ -61,6 +68,18 @@ def main():
                                                   param_dtype=jnp.bfloat16))
     params = init(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    # weight-only alignment K/V projections, computed once per weight set
+    # (inference path; training recomputes for gradients)
+    align_cache = None
+    if args.align_cache != "off":
+        align_cache = jax.jit(lambda p: fusion.precompute_align_cache(
+            p, cfg, quantize=args.align_cache == "int8"))(params)
+        jax.block_until_ready(align_cache)
+        # the cache path reads only the Q rows of the packed
+        # in-projections; drop the dead K/V rows (402 MB at 7b) before the
+        # timed region (eager slicing — jit would copy the whole tree)
+        params = fusion.strip_align_kv(params)
+        jax.block_until_ready(params)
 
     b, s = args.batch, args.seq
     rng = np.random.RandomState(0)
@@ -88,14 +107,15 @@ def main():
             jax.block_until_ready(llm_params)
 
         @jax.jit
-        def fuse(params, batch):
+        def fuse(params, batch, align_cache):
             return fusion.prepare_inputs(
                 params, cfg, input_ids=batch["input_ids"],
                 images=batch["images"], audios=batch["audios"],
                 videos=batch["videos"],
-                attention_mask=batch["attention_mask"])
+                attention_mask=batch["attention_mask"],
+                align_cache=align_cache)
 
-        fused = fuse(params, batch)
+        fused = fuse(params, batch, align_cache)
 
         def run_decode():
             out = generate(llm_params, cfg.llm,
@@ -129,46 +149,66 @@ def main():
         return result
 
     @jax.jit
-    def prefill(params, batch):
+    def prefill(params, batch, align_cache):
         fused = fusion.prepare_inputs(
             params, cfg, input_ids=batch["input_ids"],
             images=batch["images"], audios=batch["audios"],
             videos=batch["videos"],
-            attention_mask=batch["attention_mask"])
-        logits, _ = llama.forward(
-            params["llm"], cfg.llm, inputs_embeds=fused.inputs_embeds,
-            attention_mask=fused.attention_mask, dtype=fused.inputs_embeds.dtype)
-        # first-token logits only (TTFT endpoint)
-        return logits[:, -1]
+            attention_mask=batch["attention_mask"],
+            align_cache=align_cache)
+        # einsum LLM attention: at fused_len ~312 the XLA path beats the
+        # streaming flash kernel by ~60 ms (flash pays off past ~2k tokens)
+        h, _ = llama.forward_hidden(
+            params["llm"], cfg.llm, fused.inputs_embeds,
+            fused.attention_mask, use_flash=False)
+        # first-token logits only (TTFT endpoint) — project just the last
+        # position instead of the full [B, S, V] logits (saves the 1.3
+        # TFLOP full-seq lm_head and its ~320 MB fp32 temp at batch 16)
+        return llama.logits_from_hidden(params["llm"], h[:, -1:])[:, 0]
 
     # warmup / compile. NOTE: under the axon relay block_until_ready
-    # returns before execution finishes, so every timed step forces a
-    # host readback of a scalar reduction instead.
+    # returns before execution finishes, so timing forces a host readback
+    # of a scalar reduction instead.
     def run():
-        return float(prefill(params, batch).sum())
+        return float(prefill(params, batch, align_cache).sum())
 
     for _ in range(args.warmup):
         run()
 
-    times = []
     if args.trace:
         from macaw_llm_tpu.utils.profiling import trace
         with trace(args.trace):
             run()
-    for _ in range(args.steps):
+
+    # latency: single dispatch + readback (per-request TTFT incl. the
+    # ~29 ms relay round-trip this harness pays on every host readback)
+    lat = []
+    for _ in range(max(3, args.steps // 2)):
         t0 = time.perf_counter()
         run()
-        times.append(time.perf_counter() - t0)
+        lat.append(time.perf_counter() - t0)
+    ttft_ms = statistics.median(lat) * 1000
 
-    p50 = statistics.median(times)
-    examples_per_sec_per_chip = b / p50  # one chip runs the whole batch
+    # throughput: one chain of `steps` dispatches, single readback at the
+    # end — dispatch is async and the chip executes enqueued programs
+    # back-to-back, exactly like a pipelined serving/training loop, so the
+    # readback round-trip amortizes across the chain
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(args.steps):
+        out = prefill(params, batch, align_cache)
+    float(out.sum())
+    per_step = (time.perf_counter() - t0) / args.steps
+
+    examples_per_sec_per_chip = b / per_step  # one chip runs the batch
     baseline_per_chip = 2000.0 / 8.0
 
     result = {
         "metric": "multimodal examples/sec/chip prefill "
                   f"(profile={args.profile}, batch={b}, seq={s}, "
                   f"fused_len={s + cfg.total_prefix_len}, "
-                  f"p50_ttft_ms={p50 * 1000:.1f}, device={dev.device_kind})",
+                  f"pipelined_step_ms={per_step * 1000:.1f}, "
+                  f"p50_ttft_ms={ttft_ms:.1f}, device={dev.device_kind})",
         "value": round(examples_per_sec_per_chip, 2),
         "unit": "examples/sec/chip",
         "vs_baseline": round(examples_per_sec_per_chip / baseline_per_chip,

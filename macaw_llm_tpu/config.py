@@ -169,6 +169,11 @@ class ModelConfig:
     param_dtype: str = "float32"       # master params
     remat: bool = False                # jax.checkpoint per decoder layer
     use_flash: bool = False            # Pallas flash attention in the LLM
+    # streaming-kernel attention in the CLIP/Whisper towers. Measured on a
+    # v5e: LOSES to the XLA einsum path at reference shapes (d=64/96 heads
+    # pad to 128 lanes, fold transposes dominate) but cuts ~2 GB of
+    # [B, N, S, S] HBM temps — enable for memory-bound long-context runs.
+    tower_flash: bool = False
                                        # (prefill/training path; head_dim
                                        # should be a multiple of 128)
     shard_sequence: bool = False       # Ulysses-style activation sharding
@@ -353,7 +358,7 @@ def tiny_model_config() -> ModelConfig:
 def macaw_7b() -> ModelConfig:
     """Reference-parity flagship: LLaMA-7B + 2x CLIP ViT-B/16 +
     Whisper-base (run_clm_llms.py:480-483), ~7.3B params."""
-    return ModelConfig(use_flash=True)
+    return ModelConfig(use_flash=True, tower_flash=True)
 
 
 def macaw_1b() -> ModelConfig:
@@ -365,4 +370,5 @@ def macaw_1b() -> ModelConfig:
                         num_layers=16, num_heads=16),
         dtype="bfloat16",
         use_flash=True,
+        tower_flash=True,
     )

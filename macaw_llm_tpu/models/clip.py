@@ -85,9 +85,9 @@ def _embeddings(params: dict, cfg: ClipVisionConfig,
 
 
 def _encoder_layer(cfg: ClipVisionConfig, lp: dict,
-                   h: jnp.ndarray) -> jnp.ndarray:
+                   h: jnp.ndarray, use_flash: bool = False) -> jnp.ndarray:
     ln1 = layer_norm(h, lp["ln1"]["w"], lp["ln1"]["b"], cfg.layer_norm_eps)
-    h = h + mha_apply(lp["attn"], cfg.num_heads, ln1)
+    h = h + mha_apply(lp["attn"], cfg.num_heads, ln1, use_flash=use_flash)
     ln2 = layer_norm(h, lp["ln2"]["w"], lp["ln2"]["b"], cfg.layer_norm_eps)
     m = quick_gelu(ln2 @ lp["mlp"]["fc1"]["w"].astype(h.dtype)
                    + lp["mlp"]["fc1"]["b"].astype(h.dtype))
@@ -97,7 +97,8 @@ def _encoder_layer(cfg: ClipVisionConfig, lp: dict,
 
 
 def encode_patches(params: dict, cfg: ClipVisionConfig,
-                   pixels: jnp.ndarray) -> jnp.ndarray:
+                   pixels: jnp.ndarray, use_flash: bool = False
+                   ) -> jnp.ndarray:
     """Reference ``encode_image`` (modeling.py:1085-1093): projected patch
     tokens with CLS dropped. pixels [B, 3, H, W] -> [B, P, projection_dim].
     """
@@ -106,7 +107,7 @@ def encode_patches(params: dict, cfg: ClipVisionConfig,
                    params["pre_layernorm"]["b"], cfg.layer_norm_eps)
 
     def body(h, lp):
-        return _encoder_layer(cfg, lp, h), None
+        return _encoder_layer(cfg, lp, h, use_flash=use_flash), None
 
     h, _ = jax.lax.scan(body, h, params["layers"])
     # HF returns last_hidden_state un-post-layernormed; the reference

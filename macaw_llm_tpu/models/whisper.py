@@ -74,10 +74,11 @@ def _conv1d(p: dict, x: jnp.ndarray, stride: int) -> jnp.ndarray:
 
 
 def _encoder_layer(cfg: WhisperConfig, lp: dict,
-                   h: jnp.ndarray) -> jnp.ndarray:
+                   h: jnp.ndarray, use_flash: bool = False) -> jnp.ndarray:
     ln = layer_norm(h, lp["self_attn_ln"]["w"], lp["self_attn_ln"]["b"],
                     cfg.layer_norm_eps)
-    h = h + mha_apply(lp["attn"], cfg.encoder_attention_heads, ln)
+    h = h + mha_apply(lp["attn"], cfg.encoder_attention_heads, ln,
+                      use_flash=use_flash)
     ln = layer_norm(h, lp["final_ln"]["w"], lp["final_ln"]["b"],
                     cfg.layer_norm_eps)
     m = gelu(ln @ lp["mlp"]["fc1"]["w"].astype(h.dtype)
@@ -88,7 +89,7 @@ def _encoder_layer(cfg: WhisperConfig, lp: dict,
 
 
 def encode(params: dict, cfg: WhisperConfig,
-           mel: jnp.ndarray) -> jnp.ndarray:
+           mel: jnp.ndarray, use_flash: bool = False) -> jnp.ndarray:
     """Reference ``encode_audio`` (modeling.py:1081-1083).
 
     mel: [B, 80, 3000] log-mel (channel-first, Whisper convention)
@@ -100,7 +101,7 @@ def encode(params: dict, cfg: WhisperConfig,
     x = x + params["embed_positions"].astype(x.dtype)[None, :x.shape[1]]
 
     def body(h, lp):
-        return _encoder_layer(cfg, lp, h), None
+        return _encoder_layer(cfg, lp, h, use_flash=use_flash), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     return layer_norm(x, params["layer_norm"]["w"], params["layer_norm"]["b"],

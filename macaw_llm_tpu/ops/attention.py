@@ -44,6 +44,31 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jnp.einsum("bnqk,bknd->bqnd", probs, v)
 
 
+def flash_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+               scale: Optional[float] = None,
+               block_q: int = 512, block_k: int = 1024) -> jnp.ndarray:
+    """Non-causal, unmasked flash attention for encoder self/cross
+    attention. q/k/v: [B, S, N, D]. Pads D up to a 128-lane multiple
+    (zero-padded D contributes nothing to QK logits, and the padded output
+    columns are sliced off), so towers with D=64/96 heads can use the
+    streaming kernel instead of materializing [B, N, S, S] logits in HBM.
+    """
+    from macaw_llm_tpu.ops.pallas.flash_attention import flash_attention
+
+    d = q.shape[-1]
+    if scale is None:
+        scale = d ** -0.5
+    pad_d = (-d) % 128
+    if pad_d:
+        widths = ((0, 0), (0, 0), (0, 0), (0, pad_d))
+        q = jnp.pad(q, widths)
+        k = jnp.pad(k, widths)
+        v = jnp.pad(v, widths)
+    out = flash_attention(q, k, v, None, causal=False, scale=scale,
+                          block_q=block_q, block_k=block_k)
+    return out[..., :d] if pad_d else out
+
+
 def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     b, s, e = x.shape
     return x.reshape(b, s, num_heads, e // num_heads)
@@ -84,14 +109,22 @@ def _proj(p: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 def mha_apply(params: dict, num_heads: int,
               q_in: jnp.ndarray, kv_in: Optional[jnp.ndarray] = None,
-              mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Self- or cross-attention with per-projection weights. [B, S, E] in/out."""
+              mask: Optional[jnp.ndarray] = None,
+              use_flash: bool = False) -> jnp.ndarray:
+    """Self- or cross-attention with per-projection weights. [B, S, E] in/out.
+
+    use_flash: route the unmasked case through the streaming Pallas kernel
+    (encoder towers; avoids the [B, N, S, S] HBM logits).
+    """
     if kv_in is None:
         kv_in = q_in
     q = _split_heads(_proj(params["q"], q_in), num_heads)
     k = _split_heads(_proj(params["k"], kv_in), num_heads)
     v = _split_heads(_proj(params["v"], kv_in), num_heads)
-    out = dot_product_attention(q, k, v, mask)
+    if use_flash and mask is None:
+        out = flash_sdpa(q, k, v)
+    else:
+        out = dot_product_attention(q, k, v, mask)
     return _proj(params["o"], _merge_heads(out))
 
 
@@ -130,7 +163,8 @@ def torch_mha_apply(params: dict, num_heads: int,
                     query: jnp.ndarray, key: jnp.ndarray, value: jnp.ndarray,
                     *, add_zero_attn: bool = True,
                     dropout_rate: float = 0.0,
-                    dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                    dropout_rng: Optional[jax.Array] = None,
+                    use_flash: bool = False) -> jnp.ndarray:
     """torch.nn.MultiheadAttention forward, batch-first [B, S, E].
 
     Semantics replicated (torch functional.multi_head_attention_forward):
@@ -139,6 +173,7 @@ def torch_mha_apply(params: dict, num_heads: int,
       3. add_zero_attn appends one all-zero key/value position
       4. scaled dot-product softmax over keys, attn drop, out-projection
     Dropout only applied when a dropout_rng is passed (training).
+    use_flash: streaming-kernel attention for the no-dropout case.
     """
     e = query.shape[-1]
     w = params["in_proj_w"].astype(query.dtype)
@@ -166,15 +201,18 @@ def torch_mha_apply(params: dict, num_heads: int,
     vh = _split_heads(v, num_heads)
 
     scale = (e // num_heads) ** -0.5
-    logits = jnp.einsum("bqnd,bknd->bnqk", qh, kh,
-                        preferred_element_type=jnp.float32) * scale
-    probs = jax.nn.softmax(logits, axis=-1)
-    if dropout_rate > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
-                                    probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-    probs = probs.astype(query.dtype)
-    out = jnp.einsum("bnqk,bknd->bqnd", probs, vh)
+    if use_flash and (dropout_rate == 0.0 or dropout_rng is None):
+        out = flash_sdpa(qh, kh, vh, scale=scale)
+    else:
+        logits = jnp.einsum("bqnd,bknd->bnqk", qh, kh,
+                            preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(logits, axis=-1)
+        if dropout_rate > 0.0 and dropout_rng is not None:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                        probs.shape)
+            probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        probs = probs.astype(query.dtype)
+        out = jnp.einsum("bnqk,bknd->bqnd", probs, vh)
     out = _merge_heads(out)
     return out @ params["out_proj_w"].astype(out.dtype).T + \
         params["out_proj_b"].astype(out.dtype)
@@ -237,33 +275,22 @@ def torch_mha_apply_shared_kv(params: dict, num_heads: int,
         params["out_proj_b"].astype(out.dtype)
 
 
-def torch_mha_apply_shared_kv_flash(params: dict, num_heads: int,
-                                    query: jnp.ndarray,
-                                    memory: jnp.ndarray,
-                                    *, add_zero_attn: bool = True
-                                    ) -> jnp.ndarray:
-    """Flash-kernel version of torch_mha_apply_shared_kv (inference/no-
-    dropout path).
+def shared_kv_project(params: dict, memory: jnp.ndarray,
+                      *, add_zero_attn: bool = True
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Project a batch-shared K=V memory once: [M, E] -> ([M2, E], [M2, E])
+    with the torch bias_k/bias_v row and the add_zero_attn row appended.
 
-    The batch-shared K/V memory lets the whole attention fold into ONE
-    standard non-causal flash attention call: heads become the batch axis
-    and (batch x queries) become the query sequence, so the online-softmax
-    kernel never materializes the [B, N, q, |V|] logits in HBM.
-    Falls back to the einsum path when K/V would not fit VMEM.
+    The result depends only on the parameters, so inference paths can
+    precompute it once per weight set (see ``fusion.precompute_align_cache``)
+    instead of re-projecting the 32007-row vocab memory every step.
     """
-    from macaw_llm_tpu.ops.pallas.flash_attention import flash_attention
-
-    e = query.shape[-1]
-    d = e // num_heads
-    bsz, sq, _ = query.shape
-
-    w = params["in_proj_w"].astype(query.dtype)
-    bias = params["in_proj_b"].astype(query.dtype)
-    wq, wk, wv = w[:e], w[e:2 * e], w[2 * e:]
-    bq, bk, bv = bias[:e], bias[e:2 * e], bias[2 * e:]
-
-    q = query @ wq.T + bq                        # [B, Sq, E]
-    k = memory @ wk.T + bk                       # [M, E]
+    e = memory.shape[-1]
+    w = params["in_proj_w"].astype(memory.dtype)
+    b = params["in_proj_b"].astype(memory.dtype)
+    wk, wv = w[e:2 * e], w[2 * e:]
+    bk, bv = b[e:2 * e], b[2 * e:]
+    k = memory @ wk.T + bk
     v = memory @ wv.T + bv
     rows_k, rows_v = [k], [v]
     if "bias_k" in params:
@@ -273,8 +300,45 @@ def torch_mha_apply_shared_kv_flash(params: dict, num_heads: int,
         zero = jnp.zeros((1, e), k.dtype)
         rows_k.append(zero)
         rows_v.append(zero)
-    k = jnp.concatenate(rows_k, axis=0)          # [M2, E]
-    v = jnp.concatenate(rows_v, axis=0)
+    return jnp.concatenate(rows_k, axis=0), jnp.concatenate(rows_v, axis=0)
+
+
+def torch_mha_apply_shared_kv_flash(params: dict, num_heads: int,
+                                    query: jnp.ndarray,
+                                    memory: jnp.ndarray,
+                                    *, add_zero_attn: bool = True,
+                                    kv_cache: Optional[tuple] = None
+                                    ) -> jnp.ndarray:
+    """Flash-kernel version of torch_mha_apply_shared_kv (inference/no-
+    dropout path).
+
+    The batch-shared K/V memory lets the whole attention fold into ONE
+    standard non-causal flash attention call: heads become the batch axis
+    and (batch x queries) become the query sequence, so the online-softmax
+    kernel never materializes the [B, N, q, |V|] logits in HBM.
+    Falls back to the einsum path when K/V would not fit VMEM.
+
+    kv_cache: optional precomputed (k, v) [M2, E] pair from
+    ``shared_kv_project`` — skips the per-step K/V projection entirely.
+    """
+    from macaw_llm_tpu.ops.pallas.flash_attention import flash_attention
+
+    e = query.shape[-1]
+    d = e // num_heads
+    bsz, sq, _ = query.shape
+
+    w = params["in_proj_w"].astype(query.dtype)
+    bias = params["in_proj_b"].astype(query.dtype)
+    wq = w[:e]
+    bq = bias[:e]
+
+    q = query @ wq.T + bq                        # [B, Sq, E]
+    if kv_cache is not None:
+        k, v = kv_cache
+        k = k.astype(query.dtype)
+        v = v.astype(query.dtype)
+    else:
+        k, v = shared_kv_project(params, memory, add_zero_attn=add_zero_attn)
     m2 = k.shape[0]
 
     # the streaming kernel holds only one (block_q, d)+(2 x block_k, d)

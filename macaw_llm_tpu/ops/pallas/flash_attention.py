@@ -37,6 +37,18 @@ DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _clamp_blocks(block_q: int, block_k: int, sq: int, sk: int):
+    """Shrink blocks toward the (padded) sequence lengths without breaking
+    Mosaic tiling: a Q block is a sublane dim (multiple of 8), a K block is
+    the minor dim of the logits tile (multiple of 128)."""
+    return (min(block_q, _round_up(sq, 8)),
+            min(block_k, _round_up(sk, 128)))
+
+
 def _interpret() -> bool:
     """Pallas TPU kernels only run compiled on TPU; interpret elsewhere
     (CPU tests, debugging)."""
@@ -441,8 +453,7 @@ def flash_attention_with_lse(q, k, v, padding_bias=None, *,
         scale = q.shape[-1] ** -0.5
     b, sq, n, d = q.shape
     sk = k.shape[1]
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
+    block_q, block_k = _clamp_blocks(block_q, block_k, sq, sk)
     pad_q = (-sq) % block_q
     pad_k = (-sk) % block_k
     bias = padding_bias
@@ -474,8 +485,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if scale is None:
         scale = q.shape[-1] ** -0.5
     sq, sk = q.shape[1], k.shape[1]
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
+    block_q, block_k = _clamp_blocks(block_q, block_k, sq, sk)
     # pad seq lens up to block multiples
     pad_q = (-sq) % block_q
     pad_k = (-sk) % block_k

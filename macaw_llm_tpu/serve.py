@@ -48,6 +48,20 @@ logger = logging.getLogger("macaw.serve")
 PROMPT_BUCKETS = (32, 64, 128, 256)
 
 
+def _init_align_cache(params: dict, mcfg, mode: str):
+    """Engine-side alignment K/V cache setup (see
+    ``fusion.precompute_align_cache``): serving never trains, so the
+    weight-only projections are computed once at startup and the dead K/V
+    in-projection rows are dropped. mode: "bf16" (exact), "int8" (half the
+    HBM, ~0.2% row error), or "off"."""
+    if mode == "off":
+        return params, None
+    cache = jax.jit(lambda p: fusion.precompute_align_cache(
+        p, mcfg, quantize=mode == "int8"))(params)
+    jax.block_until_ready(cache)
+    return fusion.strip_align_kv(params), cache
+
+
 @dataclass
 class Request:
     prompt: str
@@ -69,8 +83,9 @@ class InferenceEngine:
 
     def __init__(self, params: dict, cfg: Config, tokenizer,
                  max_batch: int = 8, batch_timeout_ms: float = 20.0,
-                 max_new_tokens: int = 128):
-        self.params = params
+                 max_new_tokens: int = 128, align_cache: str = "bf16"):
+        self.params, self.align_cache = _init_align_cache(
+            params, cfg.model, align_cache)
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_batch = max_batch
@@ -219,14 +234,15 @@ class InferenceEngine:
             cfg = self.cfg.model
 
             @jax.jit
-            def fn(params, ids, images, audios, videos, mask):
+            def fn(params, ids, images, audios, videos, mask, cache):
                 return fusion.prepare_inputs(
                     params, cfg, input_ids=ids, images=images,
-                    audios=audios, videos=videos, attention_mask=mask)
+                    audios=audios, videos=videos, attention_mask=mask,
+                    align_cache=cache)
 
             self._fuse_fn = fn
         return self._fuse_fn(self.params, ids, images, audios, videos,
-                             mask)
+                             mask, self.align_cache)
 
 
 # ---------------------------------------------------------------------------
@@ -338,15 +354,18 @@ def serve(params: dict, cfg: Config, tokenizer, *, host: str = "0.0.0.0",
           port: int = 8000, max_batch: int = 8,
           batch_timeout_ms: float = 20.0,
           max_new_tokens: int = 128,
-          continuous: bool = True) -> ThreadingHTTPServer:
+          continuous: bool = True,
+          align_cache: str = "bf16") -> ThreadingHTTPServer:
     if continuous:
         engine = ContinuousEngine(params, cfg, tokenizer, slots=max_batch,
-                                  max_new_tokens=max_new_tokens)
+                                  max_new_tokens=max_new_tokens,
+                                  align_cache=align_cache)
     else:
         engine = InferenceEngine(params, cfg, tokenizer,
                                  max_batch=max_batch,
                                  batch_timeout_ms=batch_timeout_ms,
-                                 max_new_tokens=max_new_tokens)
+                                 max_new_tokens=max_new_tokens,
+                                 align_cache=align_cache)
     engine.start()
     server = ThreadingHTTPServer((host, port), make_handler(engine, cfg))
     server.engine = engine
@@ -375,6 +394,10 @@ def main(argv=None):
                         "batching engine")
     p.add_argument("--continuous", action="store_true",
                    help="(default) slot-based continuous batching")
+    p.add_argument("--align-cache", default="int8",
+                   choices=["int8", "bf16", "off"],
+                   help="precomputed alignment K/V projections (int8 "
+                        "halves the cache HBM; off recomputes per prefill)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.checkpoint) or Config()
@@ -385,7 +408,8 @@ def main(argv=None):
                    max_batch=args.max_batch,
                    batch_timeout_ms=args.batch_timeout_ms,
                    max_new_tokens=args.max_new_tokens,
-                   continuous=not args.static)
+                   continuous=not args.static,
+                   align_cache=args.align_cache)
     server.serve_forever()
 
 
@@ -422,8 +446,9 @@ class ContinuousEngine:
 
     def __init__(self, params: dict, cfg: Config, tokenizer, *,
                  slots: int = 8, prompt_bucket: int = 128,
-                 max_new_tokens: int = 128):
-        self.params = params
+                 max_new_tokens: int = 128, align_cache: str = "bf16"):
+        self.params, self.align_cache = _init_align_cache(
+            params, cfg.model, align_cache)
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.slots = slots
@@ -486,10 +511,11 @@ class ContinuousEngine:
         L = self._L
 
         @jax.jit
-        def prefill(params, ids, images, audios, videos, mask, temp, rng):
+        def prefill(params, ids, images, audios, videos, mask, temp, rng,
+                    cache):
             fused = fusion.prepare_inputs(
                 params, mcfg, input_ids=ids, images=images, audios=audios,
-                videos=videos, attention_mask=mask)
+                videos=videos, attention_mask=mask, align_cache=cache)
             cache = L.KVCache.create(mcfg.llm, 1, self.total_len,
                                      jnp.dtype(mcfg.dtype))
             full_mask = jnp.concatenate(
@@ -599,7 +625,7 @@ class ContinuousEngine:
             self.params, jnp.asarray(ids), jnp.asarray(image[None]),
             jnp.asarray(audio[None]), jnp.asarray(video[None]),
             jnp.asarray(mask), jnp.float32(req.temperature),
-            jax.random.fold_in(self._key, counter))
+            jax.random.fold_in(self._key, counter), self.align_cache)
         # host-sync on the admission thread, NOT the decode loop
         return (req, new_k, new_v, int(tok), length)
 
