@@ -448,9 +448,13 @@ def flash_attention_with_lse(q, k, v, padding_bias=None, *,
                              block_q: int = DEFAULT_BLOCK_Q,
                              block_k: int = DEFAULT_BLOCK_K):
     """flash_attention that also returns the per-query logsumexp
-    [B, S, N] fp32 — the ring-attention chunk combiner needs it."""
+    [B, S, N] fp32 — the ring-attention chunk combiner needs it.
+
+    ``padding_bias`` is non-differentiable (see ``flash_attention``)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if padding_bias is not None:
+        padding_bias = jax.lax.stop_gradient(padding_bias)
     b, sq, n, d = q.shape
     sk = k.shape[1]
     block_q, block_k = _clamp_blocks(block_q, block_k, sq, sk)
@@ -481,9 +485,17 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     block_k: int = DEFAULT_BLOCK_K) -> jnp.ndarray:
     """Flash attention. q/k/v: [B, S, N, D]; padding_bias: additive fp32
     [B, S_k] (0 for keep, NEG_INF for masked) or None. Returns [B, S, N, D].
+
+    ``padding_bias`` is NON-DIFFERENTIABLE: it is a {0, -inf} padding mask,
+    not a learned bias, and the backward kernel does not propagate a bias
+    cotangent (``_flash_bwd`` would return zeros). ``stop_gradient`` is
+    applied here so that contract is explicit rather than a silent wrong
+    gradient — route learned biases through ``ops.dot_product_attention``.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if padding_bias is not None:
+        padding_bias = jax.lax.stop_gradient(padding_bias)
     sq, sk = q.shape[1], k.shape[1]
     block_q, block_k = _clamp_blocks(block_q, block_k, sq, sk)
     # pad seq lens up to block multiples

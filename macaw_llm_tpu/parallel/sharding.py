@@ -31,13 +31,13 @@ from macaw_llm_tpu.parallel.mesh import FSDP_AXIS, TENSOR_AXIS
 # Layer-stacked leaves have a leading num_layers dim mapped to None.
 PARTITION_RULES: List[Tuple[str, P]] = [
     # ---- LLaMA (stacked [L, ...]) ----
-    (r"llm/layers/attn/w[qkv]$", P(None, FSDP_AXIS, TENSOR_AXIS)),
-    (r"llm/layers/attn/wo$", P(None, TENSOR_AXIS, FSDP_AXIS)),
-    (r"llm/layers/mlp/(gate|up)$", P(None, FSDP_AXIS, TENSOR_AXIS)),
-    (r"llm/layers/mlp/down$", P(None, TENSOR_AXIS, FSDP_AXIS)),
+    (r"llm/layers/attn/w[qkv](/q)?$", P(None, FSDP_AXIS, TENSOR_AXIS)),
+    (r"llm/layers/attn/wo(/q)?$", P(None, TENSOR_AXIS, FSDP_AXIS)),
+    (r"llm/layers/mlp/(gate|up)(/q)?$", P(None, FSDP_AXIS, TENSOR_AXIS)),
+    (r"llm/layers/mlp/down(/q)?$", P(None, TENSOR_AXIS, FSDP_AXIS)),
     (r"llm/layers/(input|post)_norm$", P()),
     (r"llm/embed_tokens$", P(TENSOR_AXIS, FSDP_AXIS)),
-    (r"llm/lm_head$", P(FSDP_AXIS, TENSOR_AXIS)),
+    (r"llm/lm_head(/q)?$", P(FSDP_AXIS, TENSOR_AXIS)),
     (r"llm/norm$", P()),
     # ---- CLIP / Whisper towers (frozen; shard the big matrices on fsdp) ----
     (r"(image|video)_encoder/layers/attn/[qkv]/w$",
@@ -125,19 +125,17 @@ def opt_state_shardings(abstract_opt_state: Any, param_shardings: Any,
                         mesh: Mesh):
     """Shardings for an optax state whose mu/nu subtrees mirror the param
     tree (the ZeRO-3 'optimizer state sharded like params' property,
-    deepspeed_config.json:24-39). Each opt-state leaf is matched to a param
-    by path suffix + shape; everything else (counts, scalars) replicates."""
-    flat_params = {
-        _path_str(p): s for p, s in
-        jax.tree_util.tree_flatten_with_path(param_shardings)[0]
-    }
-    flat_shapes = {}
+    deepspeed_config.json:24-39). Matched structurally: any opt-state
+    subtree whose treedef equals the param treedef (adam mu/nu, master
+    copies, ...) gets the param shardings leaf-for-leaf; everything else
+    (counts, scalars) replicates. Structural equality cannot suffer the
+    same-path-suffix collisions a string match can."""
+    param_def = jax.tree_util.tree_structure(param_shardings)
+    rep = NamedSharding(mesh, P())
 
-    def leaf(path, x):
-        ps = _path_str(path)
-        for ppath, shard in flat_params.items():
-            if ps.endswith(ppath):
-                return shard
-        return NamedSharding(mesh, P())
+    def mirrors_params(x):
+        return jax.tree_util.tree_structure(x) == param_def
 
-    return jax.tree_util.tree_map_with_path(leaf, abstract_opt_state)
+    return jax.tree_util.tree_map(
+        lambda sub: param_shardings if mirrors_params(sub) else rep,
+        abstract_opt_state, is_leaf=mirrors_params)

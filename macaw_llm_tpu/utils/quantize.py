@@ -24,11 +24,20 @@ def quantize_tensor(w: jnp.ndarray, reduce_axis: int = -2
 
     Reduces |w| over the contraction (input) axis only — for our [in, out]
     / stacked [L, in, out] weights that is axis -2 — so leading layer-stack
-    axes keep their size (lax.scan slices them per layer)."""
-    amax = jnp.max(jnp.abs(w), axis=reduce_axis, keepdims=True)
-    scale = (amax / 127.0).astype(jnp.float32)
-    q = jnp.clip(jnp.round(w / jnp.maximum(scale, 1e-12)), -127, 127)
-    return q.astype(jnp.int8), scale
+    axes keep their size (lax.scan slices them per layer). Stacked leaves
+    quantize via lax.map over the layer dim so the fp32 rounding temp is
+    one layer (~180 MB at 7b), not the whole stack (~5.8 GB)."""
+    def one(x):
+        amax = jnp.max(jnp.abs(x), axis=-2, keepdims=True)
+        scale = (amax / 127.0).astype(jnp.float32)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32)
+                               / jnp.maximum(scale, 1e-12)), -127, 127)
+        return q.astype(jnp.int8), scale
+
+    if w.ndim == 3 and reduce_axis == -2:
+        return jax.lax.map(one, w)
+    assert reduce_axis in (-2, w.ndim - 2)
+    return one(w)
 
 
 def dequantize(q: jnp.ndarray, scale: jnp.ndarray,
@@ -36,21 +45,29 @@ def dequantize(q: jnp.ndarray, scale: jnp.ndarray,
     return (q.astype(jnp.float32) * scale).astype(dtype)
 
 
-def quantize_llama(params: dict) -> dict:
+def quantize_llama(params: dict, donate: bool = False) -> dict:
     """LLaMA param pytree -> same tree with attn/mlp weights replaced by
     {"q": int8, "s": scale} records. Norms/embeddings stay bf16/fp32
-    (embeddings feed the alignment attention and the prefix lookups)."""
+    (embeddings feed the alignment attention and the prefix lookups).
+
+    donate=True quantizes leaf-by-leaf through jit with input donation so
+    each bf16 weight's HBM is released as its int8 record appears — keeps
+    the init-time peak at ~1x the bf16 model instead of 1.5x (QLoRA init
+    of a 7b base on one 16 GB chip needs this)."""
+    qt = quantize_tensor
+    if donate:
+        qt = jax.jit(quantize_tensor, donate_argnums=(0,))
     out = dict(params)
     layers = dict(params["layers"])
     for group in ("attn", "mlp"):
         g = dict(layers[group])
         for k in list(g.keys()):
             if k in QUANT_KEYS:
-                qv, sv = quantize_tensor(g[k])
+                qv, sv = qt(g[k])
                 g[k] = {"q": qv, "s": sv}
         layers[group] = g
     out["layers"] = layers
-    qh, sh = quantize_tensor(params["lm_head"])
+    qh, sh = qt(params["lm_head"])
     out["lm_head"] = {"q": qh, "s": sh}
     return out
 
@@ -65,20 +82,13 @@ def maybe_dequant(w, dtype):
 def matmul(x: jnp.ndarray, w, compute) -> jnp.ndarray:
     """x [B, S, K] @ weight (plain or int8 record) -> [B, S, N].
 
-    Benchmarked on v5e: XLA's fused dequantize-matmul (1442 tok/s decode)
-    currently beats the Pallas int8 kernel (1288 tok/s) — XLA pipelines the
-    convert into the operand stream well. The Pallas path stays available
-    via MACAW_INT8_PALLAS=1 for kernel iteration (see BENCH.md).
+    XLA fuses the int8->bf16 convert + scale into the matmul's operand
+    read, so decode streams 1 byte/weight from HBM at full bandwidth. A
+    hand-written Pallas int8 kernel was benchmarked against this path on
+    v5e (BENCH.md round 1: 1288 vs 1442 tok/s decode — XLA's software
+    pipelining of the dequant won) and deleted; the fused XLA path IS the
+    int8 fast path.
     """
     if not (isinstance(w, dict) and "q" in w):
         return x @ w.astype(compute)
-    import os
-    b, s_len, k = x.shape
-    rows = b * s_len
-    if (os.environ.get("MACAW_INT8_PALLAS") == "1" and rows <= 64
-            and w["q"].ndim == 2):
-        from macaw_llm_tpu.ops.pallas.int8_matmul import int8_matmul
-        out = int8_matmul(x.reshape(rows, k).astype(compute), w["q"],
-                          w["s"].reshape(1, -1))
-        return out.reshape(b, s_len, -1)
     return x @ dequantize(w["q"], w["s"], compute)

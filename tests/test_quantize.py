@@ -39,21 +39,3 @@ def test_quantized_forward_close_and_cache_decode():
                               kv_cache=cache)
     assert lg.shape == (2, 5, 128)
     assert int(cache.length) == 5
-
-
-def test_int8_pallas_matmul_matches_dequant():
-    import jax.numpy as jnp
-    from macaw_llm_tpu.ops.pallas.int8_matmul import int8_matmul
-    from macaw_llm_tpu.utils.quantize import quantize_tensor, dequantize
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(8, 256) * 0.1, jnp.float32)
-    w = jnp.asarray(rng.randn(256, 640) * 0.05, jnp.float32)
-    q, s = quantize_tensor(w)
-    ref = x @ dequantize(q, s, jnp.float32)
-    got = int8_matmul(x, q, s.reshape(1, -1))
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2,
-                               atol=2e-3)
-    # odd row count exercises the sublane padding
-    got3 = int8_matmul(x[:3], q, s.reshape(1, -1))
-    np.testing.assert_allclose(np.asarray(got3), np.asarray(ref[:3]),
-                               rtol=2e-2, atol=2e-3)
