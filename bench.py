@@ -34,10 +34,18 @@ def main():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--seq", type=int, default=256)
     p.add_argument("--mode", default="prefill",
-                   choices=["prefill", "decode"],
+                   choices=["prefill", "decode", "train"],
                    help="prefill: fused multimodal prefill throughput; "
-                        "decode: greedy generation tokens/sec")
+                        "decode: greedy generation tokens/sec; "
+                        "train: optimizer steps/sec (full fine-tune on 1b, "
+                        "LoRA on 7b — an AdamW full-FT of the 7b profile "
+                        "needs >19 GB of optimizer state and does not fit "
+                        "one v5e)")
     p.add_argument("--max-new-tokens", type=int, default=128)
+    p.add_argument("--accum", type=int, default=1,
+                   help="grad-accumulation microbatches (train mode)")
+    p.add_argument("--lora", action="store_true",
+                   help="force LoRA in train mode (default: 7b only)")
     p.add_argument("--quantize", default=None, choices=[None, "int8"],
                    help="weight-only quantization for the decode path")
     p.add_argument("--align-cache", default="int8",
@@ -60,6 +68,9 @@ def main():
     cfg.validate()
     dev = jax.devices()[0]
     n_chips = len(jax.devices())
+
+    if args.mode == "train":
+        return bench_train(args, cfg, dev)
 
     # init params directly on device in bf16 (bench is inference-style)
     import dataclasses
@@ -214,6 +225,127 @@ def main():
         "vs_baseline": round(examples_per_sec_per_chip / baseline_per_chip,
                              3),
     }
+    print(json.dumps(result))
+    return result
+
+
+def bench_train(args, cfg, dev):
+    """Optimizer-step throughput on the real chip.
+
+    Matches the reference's training composition (run_clm_llms.py:480-483 +
+    llm_trainer.py hot loop :184-381): frozen CLIP/Whisper encoders, AdamW
+    (fp32 masters + moments), cosine schedule, grad clip, dropout on,
+    grad accumulation via lax.scan, remat. 1b = full fine-tune of LLM +
+    fusion; 7b = LoRA r=8 over a bf16-frozen base (AdamW full-FT of 7B
+    needs ~80 GB of master+moment state — a multi-chip FSDP job, see
+    dryrun_multichip).
+    """
+    import dataclasses
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from macaw_llm_tpu.config import (Config, IGNORE_ID, MeshConfig,
+                                      TrainConfig)
+    from macaw_llm_tpu.models import fusion
+    from macaw_llm_tpu.parallel.mesh import create_mesh
+    from macaw_llm_tpu.train.trainer import Trainer
+
+    lora = args.lora or args.profile == "7b"
+    mcfg = dataclasses.replace(cfg, dtype="bfloat16", remat=True,
+                               loss_chunk=256)
+    tcfg = TrainConfig(per_device_batch_size=args.batch,
+                       grad_accum_steps=args.accum,
+                       freeze_encoders=True,
+                       lora_rank=8 if lora else 0,
+                       # QLoRA: int8 frozen base (the reference scaffolds
+                       # load_in_8bit, run_clm_llms.py:489) — 6.8 GB of
+                       # base HBM instead of 13.5 GB at 7b
+                       quantize_base=lora,
+                       # single-chip full FT only fits with bf16 grads +
+                       # bf16 Adam m (10.5 B/param of optimizer state)
+                       grad_dtype="float32" if lora else "bfloat16",
+                       mu_dtype="float32" if lora else "bfloat16")
+    full_cfg = Config(model=mcfg, mesh=MeshConfig(data=1, fsdp=1, tensor=1),
+                      train=tcfg)
+    mesh = create_mesh(full_cfg.mesh, jax.devices()[:1])
+
+    # LoRA: bf16 frozen base + fp32 adapters. Full FT: fp32 masters for
+    # everything trainable; frozen encoders cast to bf16 (they compute in
+    # bf16 anyway — identical numerics, half the HBM).
+    pd = jnp.bfloat16 if lora else jnp.float32
+    params = jax.jit(lambda k: fusion.init_params(k, mcfg, param_dtype=pd)
+                     )(jax.random.PRNGKey(0))
+    if lora:
+        from macaw_llm_tpu.train.lora import init_lora
+        params["llm"]["layers"]["lora"] = init_lora(
+            jax.random.PRNGKey(1), mcfg.llm, tcfg.lora_rank)
+    else:
+        for k in ("image_encoder", "video_encoder", "audio_encoder"):
+            params[k] = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16), params[k])
+    jax.block_until_ready(params)
+
+    trainer = Trainer(full_cfg, mesh, total_steps=1000)
+    state = trainer.init_state(params)
+    del params
+    jax.block_until_ready(state.trainable)
+
+    a, b, s = args.accum, args.batch, args.seq
+    rng = np.random.RandomState(0)
+    ids = rng.randint(16, 32000, (a, b, s)).astype(np.int32)
+    ids[:, :, 0] = 1
+    labels = ids.copy()
+    labels[:, :, :8] = IGNORE_ID
+    vis = mcfg.vision
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((a, b, s), jnp.int32),
+        "labels": jnp.asarray(labels),
+        "images": jnp.asarray(
+            rng.randint(0, 255, (a, b, vis.image_size, vis.image_size, 3)),
+            jnp.uint8),
+        "audios": jnp.asarray(rng.randn(a, b, 480000) * 0.1, jnp.float32),
+        "videos": jnp.asarray(
+            rng.randint(0, 255, (a, b, mcfg.fusion.n_frames,
+                                 vis.image_size, vis.image_size, 3)),
+            jnp.uint8),
+    }
+
+    for _ in range(args.warmup):
+        state, metrics = trainer.train_step(state, batch)
+    loss0 = float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = trainer.train_step(state, batch)
+    loss = float(metrics["loss"])  # single readback closes the chain
+    per_step = (time.perf_counter() - t0) / args.steps
+
+    fused = s + cfg.total_prefix_len
+    tokens_per_step = a * b * fused
+    # full FT ~= 6 x N_llm FLOPs/token (fwd + full bwd); LoRA ~= 4 x
+    # (fwd + dL/dx through frozen weights, no weight-grad matmuls)
+    n_llm = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(
+        state.frozen.get("llm", {}))) + sum(
+        int(np.prod(p.shape)) for p in jax.tree.leaves(
+            state.trainable.get("llm", {})))
+    mult = 4 if lora else 6
+    mfu = mult * n_llm * tokens_per_step / per_step / 197e12
+    result = {
+        "metric": "train tokens/sec/chip "
+                  f"(profile={args.profile}, "
+                  f"{'qlora_int8_r8' if lora else 'full_ft'}, batch={b}, "
+                  f"accum={a}, fused_len={fused}, "
+                  f"step_ms={per_step * 1000:.0f}, "
+                  f"llm_mfu={mfu * 100:.0f}%, loss={loss:.3f}, "
+                  f"device={dev.device_kind})",
+        "value": round(tokens_per_step / per_step, 1),
+        "unit": "tokens/sec/chip",
+        "vs_baseline": 0.0,
+    }
+    assert np.isfinite(loss) and loss <= loss0 * 1.5, (loss0, loss)
     print(json.dumps(result))
     return result
 

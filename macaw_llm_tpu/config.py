@@ -178,6 +178,20 @@ class ModelConfig:
                                        # should be a multiple of 128)
     shard_sequence: bool = False       # Ulysses-style activation sharding
                                        # of the sequence dim over `tensor`
+    # ring attention (SURVEY §5.7): sequence-sharded causal attention over
+    # a mesh axis, K/V rotating via ppermute on ICI. A config change: the
+    # Trainer passes its mesh through when this is on. "zigzag" layout
+    # balances causal work across the ring (fused seq len must divide
+    # 2 x ring-axis size); "contiguous" requires only axis-size
+    # divisibility but skews work toward late devices.
+    ring_attention: bool = False
+    ring_axis: str = "tensor"
+    ring_layout: str = "zigzag"
+    # chunked cross-entropy (training only): compute the shifted CE loss
+    # `loss_chunk` positions at a time straight from hidden states instead
+    # of materializing [B, S, 32k] fp32 logits (~1.5 GB at 7b batch 4).
+    # 0 = off (full logits; what eval/generation use anyway).
+    loss_chunk: int = 0
 
     # ---- static fused-sequence geometry (SURVEY §7: always-present
     # modalities make the fused length fixed — ideal for XLA) ----
@@ -221,26 +235,34 @@ class ModelConfig:
 class MeshConfig:
     """Device-mesh axes. DP+ZeRO-3 of the reference (train.sh:14,
     configs/deepspeed_config.json) maps to (data, fsdp) sharding; `tensor`
-    is exposed so TP is a config change (SURVEY §2.8)."""
+    is exposed so TP is a config change (SURVEY §2.8).
 
+    `dcn` is the slice/host axis for multi-slice jobs (SURVEY §2.8
+    multi-host mapping): pure data parallelism whose collectives ride the
+    data-center network, while (data, fsdp, tensor) stay within a slice on
+    ICI. Params replicate over dcn (rules never shard on it), so the only
+    DCN traffic is the per-step gradient all-reduce."""
+
+    dcn: int = 1        # slice/host data-parallel replicas (DCN)
     data: int = 1
     fsdp: int = -1      # -1 = all remaining devices
     tensor: int = 1
 
-    def resolved(self, n_devices: int) -> Tuple[int, int, int]:
-        d, f, t = self.data, self.fsdp, self.tensor
-        known = [x for x in (d, f, t) if x != -1]
+    def resolved(self, n_devices: int) -> Tuple[int, int, int, int]:
+        c, d, f, t = self.dcn, self.data, self.fsdp, self.tensor
+        known = [x for x in (c, d, f, t) if x != -1]
         prod = 1
         for x in known:
             prod *= x
-        if -1 in (d, f, t):
+        if -1 in (c, d, f, t):
             rem = n_devices // prod
+            c = rem if c == -1 else c
             d = rem if d == -1 else d
             f = rem if f == -1 else f
             t = rem if t == -1 else t
-        assert d * f * t == n_devices, (
-            f"mesh {d}x{f}x{t} != {n_devices} devices")
-        return d, f, t
+        assert c * d * f * t == n_devices, (
+            f"mesh {c}x{d}x{f}x{t} != {n_devices} devices")
+        return c, d, f, t
 
 
 @dataclass(frozen=True)
@@ -266,9 +288,35 @@ class TrainConfig:
                                      # (reference scaffolds r=8 but leaves it
                                      # disabled, run_clm_llms.py:498-508)
     lora_alpha: float = 16.0
+    # mixed-precision knobs for single-chip full fine-tunes: bf16 gradients
+    # (grads of the bf16-cast params — the compute dtype anyway) and a bf16
+    # Adam first moment (optax mu_dtype) shrink per-param optimizer state
+    # from 16 to 10.5 bytes; masters and the second moment stay fp32.
+    grad_dtype: str = "float32"      # "bfloat16" halves the grad tree
+    mu_dtype: str = "float32"        # "bfloat16" halves Adam's m
+    # LoRA-only: precompute the alignment K/V projections of the frozen
+    # vocab memory once instead of per-step (saves ~1.75 GB of temps and
+    # 6.4 TFLOP/step at 7b). "int8" halves the cache HBM (0.79 GB vs
+    # 1.57 GB at 7b, ~0.2% relative error on cached rows — what makes 7b
+    # LoRA fit one v5e); "bf16" is bit-exact vs the in-graph projection;
+    # "off" keeps the reference-style per-step projection.
+    align_cache: str = "int8"
+    # LoRA-only: store the frozen LLM base int8 (QLoRA-style; the
+    # reference scaffolds bitsandbytes load_in_8bit at run_clm_llms.py:489
+    # but never enables it). Halves base HBM (6.8 GB vs 13.5 GB at 7b) —
+    # what gives a 7b LoRA fine-tune real activation headroom on one v5e.
+    # Embeddings/norms stay bf16; adapters and optimizer state stay fp32.
+    quantize_base: bool = False
     save_steps: int = 5000
     save_total_limit: int = 1
     log_steps: int = 10
+    # periodic eval during training: every N optimizer steps run
+    # `eval_batches` forward-only batches of the eval split and log
+    # eval_loss + eval_token_accuracy (the metric the reference defines at
+    # run_clm_llms.py:515-528 but never runs — evaluation_strategy "no").
+    # 0 disables periodic eval; --do-eval still evaluates at the end.
+    eval_steps: int = 0
+    eval_batches: int = 8
     checkpoint_dir: str = "checkpoints"
     resume: bool = True              # real resume (reference stubbed it out,
                                      # run_clm_llms.py:556-560)

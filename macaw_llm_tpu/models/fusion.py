@@ -236,9 +236,13 @@ def _align(p: dict, heads: int, feats: jnp.ndarray, memory: jnp.ndarray,
         return torch_mha_apply_shared_kv_flash(p, heads, feats, memory,
                                                add_zero_attn=True,
                                                kv_cache=kv)
+    kv = None
+    if kv_cache is not None:
+        kv = (_dequant_rows(kv_cache["k"], feats.dtype),
+              _dequant_rows(kv_cache["v"], feats.dtype))
     return torch_mha_apply_shared_kv(
         p, heads, feats, memory, add_zero_attn=True,
-        dropout_rate=dropout_rate, dropout_rng=rng)
+        dropout_rate=dropout_rate, dropout_rng=rng, kv_cache=kv)
 
 
 def precompute_align_cache(params: dict, cfg: ModelConfig,
@@ -328,8 +332,9 @@ def prepare_inputs(params: dict, cfg: ModelConfig, *,
     image/audio/video -> (start_id, end_id); defaults to the 32000-32005
     vocabulary (llm_trainer.py:126-133).
     align_cache: optional precomputed alignment K/V projections from
-    ``precompute_align_cache`` (inference only — ignored when dropout_rng
-    is set, since training needs gradients through the projections).
+    ``precompute_align_cache``. Valid for inference always, and for
+    training ONLY when the align K/V weights and embed_tokens are frozen
+    (e.g. LoRA) — the cache is a constant to autodiff.
     """
     bids = {
         "image": (IMAGE_START, IMAGE_END),
@@ -363,7 +368,11 @@ def prepare_inputs(params: dict, cfg: ModelConfig, *,
     drop = cfg.fusion.align_dropout if dropout_rng is not None else 0.0
     rngs = (jax.random.split(dropout_rng, 4) if dropout_rng is not None
             else [None] * 4)
-    cache = align_cache if dropout_rng is None else None
+    # the cache is valid in training too, but ONLY when the align K/V
+    # weights and embed_tokens are frozen (LoRA): autodiff treats cached
+    # K/V as constants, so any gradient to them would be silently dropped.
+    # The Trainer enforces that contract; inference always may.
+    cache = align_cache
     _c = (lambda mod: cache.get(mod)) if cache is not None else (lambda mod: None)
 
     text_emb = lp["embed_tokens"].astype(compute)[input_ids]
@@ -451,14 +460,36 @@ def forward(params: dict, cfg: ModelConfig, *,
             dropout_rng: Optional[jax.Array] = None,
             video_mode: str = "long",
             boundary_ids: Optional[dict] = None,
-            lora_scale: float = 1.0):
+            lora_scale: float = 1.0,
+            ring_mesh=None,
+            align_cache: Optional[dict] = None):
     """Training forward (reference MM_LLMs.forward, modeling.py:941-963):
     fuse, run the LLM over inputs_embeds, return (loss, logits)."""
     batch = prepare_inputs(params, cfg, input_ids=input_ids, images=images,
                            audios=audios, videos=videos,
                            attention_mask=attention_mask, labels=labels,
                            dropout_rng=dropout_rng, video_mode=video_mode,
-                           boundary_ids=boundary_ids)
+                           boundary_ids=boundary_ids,
+                           align_cache=align_cache)
+
+    if ring_mesh is not None and cfg.ring_attention:
+        # sequence-sharded long-context step (SURVEY §5.7). Padding bias is
+        # unsupported inside the ring — long-context training packs
+        # sequences, so the mask must be all ones.
+        return _forward_ring(params, cfg, batch, lora_scale, ring_mesh)
+
+    if cfg.loss_chunk > 0 and batch.labels is not None:
+        # training-memory path: hidden states -> chunked CE, no [B, S, V]
+        # logits tensor (returns logits=None; eval keeps the full head)
+        h, _ = llama.forward_hidden(
+            params["llm"], cfg.llm, batch.inputs_embeds,
+            attention_mask=batch.attention_mask, remat=cfg.remat,
+            use_flash=cfg.use_flash, lora_scale=lora_scale,
+            shard_sequence=cfg.shard_sequence)
+        loss = llama.clm_loss_chunked(params["llm"], h, batch.labels,
+                                      chunk=cfg.loss_chunk)
+        return loss, None
+
     logits, _ = llama.forward(
         params["llm"], cfg.llm, inputs_embeds=batch.inputs_embeds,
         attention_mask=batch.attention_mask, remat=cfg.remat,
@@ -468,4 +499,43 @@ def forward(params: dict, cfg: ModelConfig, *,
     loss = None
     if batch.labels is not None:
         loss = llama.clm_loss(logits, batch.labels)
+    return loss, logits
+
+
+def _forward_ring(params: dict, cfg: ModelConfig, batch: FusedBatch,
+                  lora_scale: float, ring_mesh):
+    """Ring-attention LLM step over the fused sequence.
+
+    zig-zag layout: the fused sequence is permuted so every ring device
+    owns one early and one late block (balanced causal work). RoPE
+    positions carry the ORIGINAL indices and the loss uses pre-shifted,
+    equally-permuted next-token targets (``clm_loss_aligned``) — a
+    shift-by-one over the permuted axis would be wrong. Returned logits
+    are in permuted order (loss is the training quantity; use
+    ``zigzag_indices``/``inverse_permutation`` to unpermute).
+    """
+    from macaw_llm_tpu.parallel.ring_attention import zigzag_indices
+
+    embeds = batch.inputs_embeds
+    b, s, _ = embeds.shape
+    n_dev = ring_mesh.shape[cfg.ring_axis]
+    positions = None
+    perm = None
+    if cfg.ring_layout == "zigzag":
+        perm = zigzag_indices(s, n_dev)
+        embeds = embeds[:, perm]
+        positions = jnp.broadcast_to(perm[None].astype(jnp.int32), (b, s))
+    logits, _ = llama.forward(
+        params["llm"], cfg.llm, inputs_embeds=embeds,
+        positions=positions, remat=cfg.remat, lora_scale=lora_scale,
+        ring_mesh=ring_mesh, ring_axis=cfg.ring_axis,
+        ring_layout=cfg.ring_layout, dtype=embeds.dtype)
+    loss = None
+    if batch.labels is not None:
+        ext = batch.labels
+        targets = jnp.concatenate(
+            [ext[:, 1:], jnp.full((b, 1), IGNORE_ID, ext.dtype)], axis=1)
+        if perm is not None:
+            targets = targets[:, perm]
+        loss = llama.clm_loss_aligned(logits, targets)
     return loss, logits

@@ -101,7 +101,8 @@ def _attention(cfg: LlamaConfig, p: dict, h: jnp.ndarray,
                lora: Optional[dict] = None,
                lora_scale: float = 1.0,
                ring_mesh=None,
-               ring_axis: str = "tensor"):
+               ring_axis: str = "tensor",
+               ring_layout: str = "zigzag"):
     """One attention block. h: [B, S, H]. Returns (out, (k_new, v_new)).
 
     use_flash routes the no-cache (prefill/training) path through the
@@ -152,7 +153,7 @@ def _attention(cfg: LlamaConfig, p: dict, h: jnp.ndarray,
         # long-context training packs sequences)
         from macaw_llm_tpu.parallel.ring_attention import ring_attention
         out = ring_attention(q, k_full, v_full, mesh=ring_mesh,
-                             axis=ring_axis)
+                             axis=ring_axis, layout=ring_layout)
     elif use_flash and kv is None:
         from macaw_llm_tpu.ops.pallas.flash_attention import flash_attention
         out = flash_attention(q, k_full, v_full, flash_bias, causal=True)
@@ -173,13 +174,14 @@ def _mlp(p: dict, h: jnp.ndarray) -> jnp.ndarray:
 def _decoder_layer(cfg: LlamaConfig, lp: dict, h: jnp.ndarray,
                    mask, cos, sin, kv, cache_pos,
                    flash_bias=None, use_flash=False, lora_scale=1.0,
-                   ring_mesh=None, ring_axis="tensor"):
+                   ring_mesh=None, ring_axis="tensor",
+                   ring_layout="zigzag"):
     """Pre-norm attn + residual, pre-norm SwiGLU + residual
     (reference LlamaDecoderLayer, modeling.py:234-299)."""
     attn_out, new_kv = _attention(
         cfg, lp["attn"], rms_norm(h, lp["input_norm"], cfg.rms_norm_eps),
         mask, cos, sin, kv, cache_pos, flash_bias, use_flash,
-        lp.get("lora"), lora_scale, ring_mesh, ring_axis)
+        lp.get("lora"), lora_scale, ring_mesh, ring_axis, ring_layout)
     h = h + attn_out
     h = h + _mlp(lp["mlp"], rms_norm(h, lp["post_norm"], cfg.rms_norm_eps))
     return h, new_kv
@@ -201,8 +203,9 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
                    lora_scale: float = 1.0,
                    shard_sequence: bool = False,
                    ring_mesh=None,
-                   ring_axis: str = "tensor") -> Tuple[jnp.ndarray,
-                                                       Optional[KVCache]]:
+                   ring_axis: str = "tensor",
+                   ring_layout: str = "zigzag") -> Tuple[jnp.ndarray,
+                                                         Optional[KVCache]]:
     """Decoder stack over ``inputs_embeds`` [B, S, H].
 
     attention_mask: [B, S_total] {0,1} over the full kv length (prefix
@@ -258,7 +261,7 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
                        use_flash=use_flash and kv_cache is None,
                        lora_scale=lora_scale,
                        ring_mesh=ring_mesh if kv_cache is None else None,
-                       ring_axis=ring_axis)
+                       ring_axis=ring_axis, ring_layout=ring_layout)
     if remat:
         layer_fn = jax.checkpoint(layer_fn,
                                   policy=jax.checkpoint_policies.nothing_saveable)
@@ -281,7 +284,7 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
         # change, not new code — usable once seq length outgrows one chip.
         from jax.sharding import PartitionSpec as P
         h = jax.lax.with_sharding_constraint(
-            h, P(("data", "fsdp"), "tensor", None))
+            h, P(("dcn", "data", "fsdp"), "tensor", None))
     if kv_cache is not None:
         h, (nk, nv) = jax.lax.scan(scan_body, h,
                                    (params["layers"], (kv_cache.k,
@@ -310,6 +313,9 @@ def forward(params: dict, cfg: LlamaConfig,
             use_flash: bool = False,
             lora_scale: float = 1.0,
             shard_sequence: bool = False,
+            ring_mesh=None,
+            ring_axis: str = "tensor",
+            ring_layout: str = "zigzag",
             dtype=jnp.float32):
     """Full CLM forward -> (logits [B,S,V] fp32, new_kv_cache).
 
@@ -321,7 +327,8 @@ def forward(params: dict, cfg: LlamaConfig,
         inputs_embeds = embed(params, input_ids, dtype)
     h, new_cache = forward_hidden(params, cfg, inputs_embeds, attention_mask,
                                   positions, kv_cache, remat, use_flash,
-                                  lora_scale, shard_sequence)
+                                  lora_scale, shard_sequence,
+                                  ring_mesh, ring_axis, ring_layout)
     return logits_from_hidden(params, h), new_cache
 
 
@@ -338,3 +345,63 @@ def clm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     nll = jnp.where(valid, nll, 0.0)
     denom = jnp.maximum(valid.sum(), 1)
     return nll.sum() / denom
+
+
+def clm_loss_chunked(params: dict, h: jnp.ndarray, labels: jnp.ndarray,
+                     chunk: int = 1024) -> jnp.ndarray:
+    """Shifted CE straight from final hidden states without ever
+    materializing the [B, S, V] logits.
+
+    The fused multimodal sequences are long (~1.5k) and the vocab is 32k:
+    full fp32 logits plus their log-softmax cost ~1.5 GB at batch 4 on the
+    7b profile — the difference between a LoRA train step fitting one v5e
+    or not. Scanning ``chunk`` positions at a time with jax.checkpoint
+    bounds peak memory at O(B * chunk * V); the backward pass recomputes
+    each chunk's logits. Numerically identical to
+    ``clm_loss(logits_from_hidden(params, h), labels)``.
+    """
+    b, s, _ = h.shape
+    targets = jnp.concatenate(
+        [labels[:, 1:], jnp.full((b, 1), IGNORE_ID, labels.dtype)], axis=1)
+    pad = (-s) % chunk
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        targets = jnp.pad(targets, ((0, 0), (0, pad)),
+                          constant_values=IGNORE_ID)
+    n = (s + pad) // chunk
+    hs = h.reshape(b, n, chunk, h.shape[-1]).transpose(1, 0, 2, 3)
+    ts = targets.reshape(b, n, chunk).transpose(1, 0, 2)
+    w = params["lm_head"]
+
+    @jax.checkpoint
+    def chunk_nll(h_c, t_c):
+        logits = qz.matmul(h_c, w, h_c.dtype).astype(jnp.float32)
+        valid = t_c != IGNORE_ID
+        safe = jnp.where(valid, t_c, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return jnp.where(valid, nll, 0.0).sum(), valid.sum()
+
+    def body(carry, xs):
+        nll, cnt = chunk_nll(*xs)
+        return (carry[0] + nll, carry[1] + cnt), None
+
+    (nll_sum, count), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+        (hs, ts))
+    return nll_sum / jnp.maximum(count, 1)
+
+
+def clm_loss_aligned(logits: jnp.ndarray, targets: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Position-aligned cross-entropy: ``targets[:, i]`` is the token the
+    logits at position i must predict (IGNORE_ID elsewhere). Equivalent to
+    ``clm_loss`` after the caller pre-shifts labels — required for
+    sequence layouts where positions are permuted (ring attention's
+    zig-zag), where a shift-by-one inside the loss would be wrong."""
+    valid = targets != IGNORE_ID
+    safe = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return nll.sum() / jnp.maximum(valid.sum(), 1)

@@ -206,12 +206,15 @@ def torch_mha_apply(params: dict, num_heads: int,
     else:
         logits = jnp.einsum("bqnd,bknd->bnqk", qh, kh,
                             preferred_element_type=jnp.float32) * scale
-        probs = jax.nn.softmax(logits, axis=-1)
+        # softmax in fp32, dropout on compute-dtype probs (what torch
+        # AMP does: fp32-stable softmax, fp16/bf16 attn weights) — halves
+        # the dropout mask + probs HBM in training
+        probs = jax.nn.softmax(logits, axis=-1).astype(query.dtype)
         if dropout_rate > 0.0 and dropout_rng is not None:
             keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
                                         probs.shape)
-            probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-        probs = probs.astype(query.dtype)
+            probs = jnp.where(keep, probs / (1.0 - dropout_rate),
+                              jnp.zeros((), probs.dtype))
         out = jnp.einsum("bnqk,bknd->bqnd", probs, vh)
     out = _merge_heads(out)
     return out @ params["out_proj_w"].astype(out.dtype).T + \
@@ -222,7 +225,8 @@ def torch_mha_apply_shared_kv(params: dict, num_heads: int,
                               query: jnp.ndarray, memory: jnp.ndarray,
                               *, add_zero_attn: bool = True,
                               dropout_rate: float = 0.0,
-                              dropout_rng: Optional[jax.Array] = None
+                              dropout_rng: Optional[jax.Array] = None,
+                              kv_cache: Optional[tuple] = None
                               ) -> jnp.ndarray:
     """torch_mha_apply specialized for a batch-shared K=V memory.
 
@@ -232,22 +236,34 @@ def torch_mha_apply_shared_kv(params: dict, num_heads: int,
     ``memory`` is the unbatched [M, E] matrix, projected ONCE — an exact
     (bit-for-bit up to reduction order) equivalent at 1/B of the K/V FLOPs
     and HBM traffic.
+
+    kv_cache: optional precomputed (k, v) [M2, E] pair (already including
+    bias/zero rows) from ``shared_kv_project`` — skips the in-graph K/V
+    projection. Only valid when no gradient must flow to the K/V weights
+    or the memory (the cache is a constant to autodiff).
     """
     e = query.shape[-1]
     w = params["in_proj_w"].astype(query.dtype)
     b = params["in_proj_b"].astype(query.dtype)
-    wq, wk, wv = w[:e], w[e:2 * e], w[2 * e:]
-    bq, bk, bv = b[:e], b[e:2 * e], b[2 * e:]
-
+    wq = w[:e]
+    bq = b[:e]
     q = query @ wq.T + bq                       # [B, Sq, E]
-    k = memory @ wk.T + bk                      # [M, E] — once
-    v = memory @ wv.T + bv
 
-    rows_k, rows_v = [k], [v]
-    if "bias_k" in params:
+    if kv_cache is not None:
+        k, v = kv_cache
+        k = k.astype(query.dtype)
+        v = v.astype(query.dtype)
+        rows_k, rows_v = [k], [v]
+    else:
+        wk, wv = w[e:2 * e], w[2 * e:]
+        bk, bv = b[e:2 * e], b[2 * e:]
+        k = memory @ wk.T + bk                  # [M, E] — once
+        v = memory @ wv.T + bv
+        rows_k, rows_v = [k], [v]
+    if kv_cache is None and "bias_k" in params:
         rows_k.append(params["bias_k"].astype(k.dtype)[None, :])
         rows_v.append(params["bias_v"].astype(v.dtype)[None, :])
-    if add_zero_attn:
+    if kv_cache is None and add_zero_attn:
         zero = jnp.zeros((1, e), k.dtype)
         rows_k.append(zero)
         rows_v.append(zero)
@@ -263,12 +279,14 @@ def torch_mha_apply_shared_kv(params: dict, num_heads: int,
     scale = d ** -0.5
     logits = jnp.einsum("bqnd,mnd->bnqm", qh, kh,
                         preferred_element_type=jnp.float32) * scale
-    probs = jax.nn.softmax(logits, axis=-1)
+    # fp32 softmax, compute-dtype dropout (torch-AMP semantics; halves
+    # the training-time probs/mask HBM over the 32k-row vocab memory)
+    probs = jax.nn.softmax(logits, axis=-1).astype(query.dtype)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
                                     probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-    probs = probs.astype(query.dtype)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate),
+                          jnp.zeros((), probs.dtype))
     out = jnp.einsum("bnqm,mnd->bqnd", probs, vh)
     out = out.reshape(bsz, sq, e)
     return out @ params["out_proj_w"].astype(out.dtype).T + \

@@ -57,10 +57,24 @@ def parse_args(argv=None):
                    help="train on random synthetic data (smoke test)")
     p.add_argument("--tiny", action="store_true",
                    help="use the tiny test model config")
+    p.add_argument("--profile", default=None, choices=["1b", "7b"],
+                   help="use a named model profile (reference-parity 7b "
+                        "or the 1b stand-in) instead of --config")
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="override cfg.train.per_device_batch_size")
     p.add_argument("--no-media", action="store_true",
                    help="text-only batches (no image/audio/video columns)")
     p.add_argument("--lora-rank", type=int, default=None,
                    help="enable LoRA fine-tuning at this rank")
+    p.add_argument("--eval-cache", type=str, default=None,
+                   help="tokenized eval-split cache (.npz); with "
+                        "--synthetic a held-out synthetic split is used")
+    p.add_argument("--do-eval", action="store_true",
+                   help="run a final eval pass (loss + token accuracy) "
+                        "after training; periodic eval follows "
+                        "cfg.train.eval_steps")
+    p.add_argument("--eval-steps", type=int, default=None,
+                   help="override cfg.train.eval_steps")
     return p.parse_args(argv)
 
 
@@ -105,8 +119,9 @@ def load_pretrained(cfg: Config, args) -> dict:
     return params
 
 
-def synthetic_dataset(cfg: Config, n: int = 64) -> TokenizedDataset:
-    rng = np.random.RandomState(0)
+def synthetic_dataset(cfg: Config, n: int = 64,
+                      seed: int = 0) -> TokenizedDataset:
+    rng = np.random.RandomState(seed)
     L = cfg.data.max_text_len
     ids = rng.randint(16, min(cfg.model.llm.vocab_size, 32000), (n, L))
     ids[:, 0] = 1
@@ -135,10 +150,24 @@ def main(argv=None):
     import dataclasses
     if args.tiny:
         cfg = dataclasses.replace(cfg, model=tiny_model_config())
+    if args.profile:
+        from macaw_llm_tpu.config import macaw_1b, macaw_7b
+        prof = {"1b": macaw_1b, "7b": macaw_7b}[args.profile]()
+        prof = dataclasses.replace(prof, dtype="bfloat16", remat=True,
+                                   loss_chunk=256)
+        cfg = dataclasses.replace(cfg, model=prof)
+    if args.batch_size is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, per_device_batch_size=args.batch_size))
     if args.lora_rank is not None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
                                            lora_rank=args.lora_rank))
+    if args.eval_steps is not None:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           eval_steps=args.eval_steps))
     cfg.model.validate()
 
     mesh = create_mesh(cfg.mesh)
@@ -171,6 +200,23 @@ def main(argv=None):
     total_steps = max(1, loader.steps_per_epoch * epochs)
     if args.steps:
         total_steps = min(total_steps, args.steps)
+
+    # ---- eval split (reference defines token accuracy but never runs it,
+    # run_clm_llms.py:515-528 / --evaluation_strategy "no"; here it works)
+    eval_loader = None
+    want_eval = args.do_eval or args.eval_cache or cfg.train.eval_steps > 0
+    if want_eval:
+        if args.eval_cache:
+            eval_ds = TokenizedDataset.load(args.eval_cache)
+            eval_media = media
+        else:  # held-out synthetic split (different seed than training)
+            eval_ds = synthetic_dataset(cfg, n=32, seed=1234)
+            eval_media = None if args.no_media else _zero_media(cfg)
+        per_eval_batch = cfg.train.per_device_batch_size * n_devices
+        eval_loader = BatchLoader(
+            eval_ds, eval_media, global_batch=per_eval_batch, accum=1,
+            seed=cfg.train.seed, process_index=jax.process_index(),
+            process_count=jax.process_count())
 
     # ---- model / trainer / resume ----
     params = load_pretrained(cfg, args)
@@ -223,6 +269,11 @@ def main(argv=None):
             metrics_log.log(step, m, tokens_per_batch=tokens_per_batch,
                             examples_per_batch=global_batch,
                             n_chips=n_devices)
+            if (eval_loader is not None and cfg.train.eval_steps > 0
+                    and step % cfg.train.eval_steps == 0):
+                em = _run_eval(trainer, state, eval_loader,
+                               cfg.train.eval_batches)
+                metrics_log.log(step, em)
             ckpt.save(state, cfg)
             if preempted["flag"]:
                 ckpt.save(state, cfg, force=True)
@@ -237,9 +288,27 @@ def main(argv=None):
 
     ckpt.save(state, cfg, force=True)
     ckpt.wait()
+    if args.do_eval and eval_loader is not None:
+        em = _run_eval(trainer, state, eval_loader, cfg.train.eval_batches)
+        metrics_log.log(int(state.step), em)
+        logger.info("final eval: loss=%.4f token_accuracy=%.4f",
+                    em["eval_loss"], em["eval_token_accuracy"])
     metrics_log.close()
     logger.info("training done at step %d", int(state.step))
     return state
+
+
+def _run_eval(trainer, state, eval_loader, max_batches: int):
+    """Forward-only pass over up to max_batches eval batches; the loader
+    yields [1, B, ...] (accum=1) — strip the accum axis."""
+    def gen():
+        n = 0
+        for batch in eval_loader.epoch(0):
+            if n >= max_batches:
+                break
+            n += 1
+            yield jax.tree.map(lambda x: x[0], batch)
+    return trainer.evaluate(state, gen())
 
 
 def _zero_media(cfg: Config):

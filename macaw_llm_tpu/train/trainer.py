@@ -68,7 +68,8 @@ def make_optimizer(cfg: TrainConfig, total_steps: int
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(make_lr_schedule(cfg, total_steps),
                     b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
-                    weight_decay=cfg.weight_decay),
+                    weight_decay=cfg.weight_decay,
+                    mu_dtype=jnp.dtype(cfg.mu_dtype)),
     )
 
 
@@ -87,7 +88,8 @@ def create_train_state(params: dict, cfg: Config, total_steps: int,
 
 def _loss_fn(trainable: dict, frozen: dict, mcfg: ModelConfig,
              batch: Dict[str, jnp.ndarray], dropout_rng,
-             lora_scale: float = 1.0) -> jnp.ndarray:
+             lora_scale: float = 1.0, ring_mesh=None,
+             align_cache=None) -> jnp.ndarray:
     params = merge_params(trainable, frozen)
     loss, _ = fusion.forward(
         params, mcfg,
@@ -98,35 +100,59 @@ def _loss_fn(trainable: dict, frozen: dict, mcfg: ModelConfig,
         attention_mask=batch.get("attention_mask"),
         labels=batch["labels"],
         dropout_rng=dropout_rng,
-        lora_scale=lora_scale)
+        lora_scale=lora_scale,
+        ring_mesh=ring_mesh,
+        align_cache=align_cache)
     return loss
 
 
 def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                mcfg: ModelConfig, tx: optax.GradientTransformation,
-               lr_schedule, lora_scale: float = 1.0
+               lr_schedule, lora_scale: float = 1.0,
+               grad_dtype=jnp.float32, ring_mesh=None,
+               align_cache=None
                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimizer step over a batch with a leading grad-accum axis
-    [A, B, ...] (A=1 for no accumulation)."""
+    [A, B, ...] (A=1 for no accumulation).
+
+    grad_dtype=bfloat16 differentiates w.r.t. the bf16-cast params (the
+    compute dtype the forward casts to anyway), halving the grad tree —
+    what makes the 1b full fine-tune fit one v5e. Masters stay fp32.
+    """
     rng, step_rng = jax.random.split(state.rng)
     accum = jax.tree_util.tree_leaves(batch)[0].shape[0]
 
-    grad_fn = jax.value_and_grad(_loss_fn)
+    gd = jnp.dtype(grad_dtype)
+    diff_params = state.trainable
+    if gd != jnp.float32:
+        diff_params = jax.tree.map(lambda x: x.astype(gd), state.trainable)
 
-    def micro(carry, xs):
-        loss_sum, grad_sum = carry
-        mb, mrng = xs
-        loss, grads = grad_fn(state.trainable, state.frozen, mcfg, mb, mrng,
-                              lora_scale)
-        return (loss_sum + loss,
-                jax.tree.map(jnp.add, grad_sum, grads)), None
-
-    zero_grads = jax.tree.map(jnp.zeros_like, state.trainable)
+    grad_fn = jax.value_and_grad(
+        partial(_loss_fn, ring_mesh=ring_mesh, align_cache=align_cache))
     micro_rngs = jax.random.split(step_rng, accum)
-    (loss_sum, grad_sum), _ = jax.lax.scan(
-        micro, (jnp.zeros(()), zero_grads), (batch, micro_rngs))
-    loss = loss_sum / accum
-    grads = jax.tree.map(lambda g: g / accum, grad_sum)
+
+    if accum == 1:
+        # no accumulation: skip the scan so no second full-size grad tree
+        # is carried — XLA frees each grad leaf into its optimizer update
+        # (the scan carry alone is +4.8 GB at the 1b full-FT profile)
+        mb = jax.tree.map(lambda x: x[0], batch)
+        loss, grads = grad_fn(diff_params, state.frozen, mcfg, mb,
+                              micro_rngs[0], lora_scale)
+    else:
+        def micro(carry, xs):
+            loss_sum, grad_sum = carry
+            mb, mrng = xs
+            loss, grads = grad_fn(diff_params, state.frozen, mcfg, mb,
+                                  mrng, lora_scale)
+            return (loss_sum + loss,
+                    jax.tree.map(jnp.add, grad_sum, grads)), None
+
+        zero_grads = jax.tree.map(
+            lambda x: jnp.zeros(x.shape, gd), state.trainable)
+        (loss_sum, grad_sum), _ = jax.lax.scan(
+            micro, (jnp.zeros(()), zero_grads), (batch, micro_rngs))
+        loss = loss_sum / accum
+        grads = jax.tree.map(lambda g: (g / accum).astype(gd), grad_sum)
 
     updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
     new_trainable = optax.apply_updates(state.trainable, updates)
@@ -152,6 +178,7 @@ class Trainer:
         self.lr_schedule = make_lr_schedule(cfg.train, total_steps)
         self._step = None
         self._state_shardings = None
+        self._align_cache = None
 
     # -------------------- state --------------------
 
@@ -159,6 +186,12 @@ class Trainer:
                    rng: Optional[jax.Array] = None) -> TrainState:
         """Create the train state ON the mesh: params are placed per the
         partition rules; optimizer state inherits via GSPMD propagation."""
+        if self.cfg.train.quantize_base:
+            assert self.cfg.train.lora_rank > 0, \
+                "quantize_base requires LoRA (the base must be frozen)"
+            from macaw_llm_tpu.utils.quantize import quantize_llama
+            params = dict(params)
+            params["llm"] = quantize_llama(params["llm"], donate=True)
         trainable, frozen = split_params(
             params, self.cfg.train.freeze_encoders,
             lora=self.cfg.train.lora_rank > 0)
@@ -184,6 +217,21 @@ class Trainer:
                 else jax.random.PRNGKey(self.cfg.train.seed), rep))
         self._state_shardings = jax.tree.map(
             lambda x: x.sharding if hasattr(x, "sharding") else None, state)
+
+        if (self.cfg.train.lora_rank > 0
+                and self.cfg.train.align_cache != "off"):
+            # LoRA: embed_tokens + the align K/V weights are frozen, so the
+            # alignment K/V projections of the vocab memory are step
+            # constants — precompute them instead of re-projecting
+            # 6 x [32k, H] matmuls (+1.75 GB of temps at 7b) every step.
+            mcfg = self.cfg.model
+            quant = self.cfg.train.align_cache == "int8"
+            full = merge_params(trainable, frozen)
+            self._align_cache = jax.jit(
+                lambda p: fusion.precompute_align_cache(p, mcfg,
+                                                        quantize=quant)
+            )(full)
+            jax.block_until_ready(self._align_cache)
         return state
 
     # -------------------- steps --------------------
@@ -196,22 +244,87 @@ class Trainer:
             lora_scale = (self.cfg.train.lora_alpha
                           / max(self.cfg.train.lora_rank, 1))
 
+            grad_dtype = jnp.dtype(self.cfg.train.grad_dtype)
+            ring_mesh = self.mesh if mcfg.ring_attention else None
+
             @partial(jax.jit, donate_argnums=(0,))
-            def _step(state, batch):
+            def _step(state, batch, align_cache):
                 batch = jax.lax.with_sharding_constraint(
                     batch, batch_sharding_tree(batch, self.mesh))
-                return train_step(state, batch, mcfg, tx, sched, lora_scale)
+                return train_step(state, batch, mcfg, tx, sched, lora_scale,
+                                  grad_dtype=grad_dtype,
+                                  ring_mesh=ring_mesh,
+                                  align_cache=align_cache)
 
             self._step = _step
         return self._step
 
     def train_step(self, state: TrainState, batch: Dict[str, Any]):
-        return self.step_fn()(state, batch)
+        return self.step_fn()(state, batch, self._align_cache)
+
+    def eval_step_fn(self):
+        """Forward-only eval: (loss, correct-token count, valid-token
+        count) on a [B, ...] batch — the reference's token-accuracy metric
+        (run_clm_llms.py:515-528) computed in-graph so the [B, S, V]
+        logits never leave the device."""
+        if getattr(self, "_eval", None) is None:
+            mcfg = self.cfg.model
+            lora_scale = (self.cfg.train.lora_alpha
+                          / max(self.cfg.train.lora_rank, 1))
+
+            @jax.jit
+            def _eval(state, batch):
+                bs = NamedSharding(self.mesh, P(("dcn", "data", "fsdp")))
+                batch = jax.lax.with_sharding_constraint(
+                    batch, jax.tree.map(lambda x: bs, batch))
+                params = merge_params(state.trainable, state.frozen)
+                loss, logits = fusion.forward(
+                    params, mcfg,
+                    input_ids=batch["input_ids"],
+                    images=batch.get("images"),
+                    audios=batch.get("audios"),
+                    videos=batch.get("videos"),
+                    attention_mask=batch.get("attention_mask"),
+                    labels=batch["labels"],
+                    lora_scale=lora_scale)
+                # labels get prefix_len IGNOREs prepended inside forward
+                # (absent modalities shrink the prefix — derive it from
+                # the logits); rebuild the extended view for shifted
+                # argmax accuracy
+                from macaw_llm_tpu.config import IGNORE_ID
+                lab = batch["labels"]
+                prefix = logits.shape[1] - lab.shape[1]
+                ext = jnp.concatenate(
+                    [jnp.full((lab.shape[0], prefix),
+                              IGNORE_ID, lab.dtype), lab], axis=1)
+                preds = jnp.argmax(logits[:, :-1], axis=-1)
+                refs = ext[:, 1:]
+                valid = refs != IGNORE_ID
+                correct = jnp.sum(jnp.where(valid, preds == refs, False))
+                return loss, correct, valid.sum()
+
+            self._eval = _eval
+        return self._eval
+
+    def evaluate(self, state: TrainState, batches) -> Dict[str, float]:
+        """Average eval loss / token accuracy over an iterable of [B, ...]
+        batches (exact token-weighted accuracy via count aggregation)."""
+        step = self.eval_step_fn()
+        losses, correct, total = [], 0, 0
+        for batch in batches:
+            loss, c, n = step(state, batch)
+            losses.append(float(loss))
+            correct += int(c)
+            total += int(n)
+        return {
+            "eval_loss": float(sum(losses) / max(len(losses), 1)),
+            "eval_token_accuracy": correct / max(total, 1),
+        }
 
 
 def batch_sharding_tree(batch: Dict[str, Any], mesh: Mesh):
     """Shard every batch leaf on its *batch* dimension. Batches carry a
     leading grad-accum axis [A, B, ...]: A stays replicated, B shards over
-    (data, fsdp)."""
-    bs = NamedSharding(mesh, P(None, ("data", "fsdp")))
+    (dcn, data, fsdp)."""
+    bs = NamedSharding(mesh, P(None, ("dcn", "data", "fsdp")))
     return jax.tree.map(lambda x: bs, batch)

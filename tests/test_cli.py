@@ -81,3 +81,26 @@ def test_train_resume_and_inference(tmp_path):
     assert all("generation" in r and "response" in r for r in results)
     assert os.path.exists(str(tmp_path /
                               "eval_outputs/toy_eval_outputs.json"))
+
+
+def test_train_with_eval(tmp_path):
+    """--eval-steps/--do-eval wire the reference's token-accuracy metric
+    (run_clm_llms.py:515-528, dead there) into real training."""
+    from macaw_llm_tpu import run_train
+    cfg_path = str(tmp_path / "cfg.json")
+    out_dir = str(tmp_path / "out")
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, eval_batches=2))
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+    run_train.main(["--config", cfg_path, "--synthetic",
+                    "--output-dir", out_dir, "--steps", "2",
+                    "--no-media", "--eval-steps", "1", "--do-eval"])
+    with open(os.path.join(out_dir, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    evals = [r for r in recs if "eval_loss" in r]
+    assert len(evals) >= 2  # periodic (steps 1, 2) + final
+    for r in evals:
+        assert np.isfinite(r["eval_loss"])
+        assert 0.0 <= r["eval_token_accuracy"] <= 1.0

@@ -189,3 +189,70 @@ def test_per_row_cache_decode(params):
                                atol=2e-4)
     np.testing.assert_array_equal(np.asarray(cache2.length),
                                   np.asarray(lengths) + 1)
+
+
+class TestChunkedLoss:
+    def test_matches_full_logits_loss(self):
+        """clm_loss_chunked(h) == clm_loss(logits_from_hidden(h)) and the
+        h-gradients agree — the memory path must be a pure refactor."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from macaw_llm_tpu.config import IGNORE_ID, tiny_model_config
+        from macaw_llm_tpu.models import fusion, llama
+        cfg = tiny_model_config()
+        params = fusion.init_params(jax.random.PRNGKey(3), cfg)["llm"]
+        rng = np.random.RandomState(0)
+        b, s = 2, 37  # deliberately not a chunk multiple
+        h = jnp.asarray(rng.randn(b, s, cfg.llm.hidden_size) * 0.5,
+                        jnp.float32)
+        labels = rng.randint(0, cfg.llm.vocab_size, (b, s))
+        labels[:, :5] = IGNORE_ID
+        labels = jnp.asarray(labels)
+
+        def full(h):
+            return llama.clm_loss(llama.logits_from_hidden(params, h),
+                                  labels)
+
+        def chunked(h):
+            return llama.clm_loss_chunked(params, h, labels, chunk=16)
+
+        np.testing.assert_allclose(float(chunked(h)), float(full(h)),
+                                   rtol=1e-6)
+        gc = jax.grad(chunked)(h)
+        gf = jax.grad(full)(h)
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gf),
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_fusion_loss_chunk_config(self):
+        """cfg.loss_chunk routes fusion.forward through the chunked path
+        with the same loss (logits become None)."""
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from macaw_llm_tpu.config import IGNORE_ID, tiny_model_config
+        from macaw_llm_tpu.models import fusion
+        cfg = tiny_model_config()
+        params = fusion.init_params(jax.random.PRNGKey(4), cfg)
+        rng = np.random.RandomState(1)
+        ids = rng.randint(16, 32000, (2, 12)).astype(np.int32)
+        ids[:, 0] = 1
+        labels = ids.copy()
+        labels[:, :3] = IGNORE_ID
+        kw = dict(input_ids=jnp.asarray(ids),
+                  images=jnp.zeros((2, 3, cfg.vision.image_size,
+                                    cfg.vision.image_size)),
+                  audios=jnp.zeros((2, 80, 3000)),
+                  videos=jnp.zeros((2, cfg.fusion.n_frames, 3,
+                                    cfg.vision.image_size,
+                                    cfg.vision.image_size)),
+                  attention_mask=jnp.ones((2, 12), jnp.int32),
+                  labels=jnp.asarray(labels))
+        l_full, logits = fusion.forward(params, cfg, **kw)
+        ccfg = dataclasses.replace(cfg, loss_chunk=8)
+        l_chunk, none_logits = fusion.forward(params, ccfg, **kw)
+        assert none_logits is None
+        assert logits is not None
+        np.testing.assert_allclose(float(l_chunk), float(l_full),
+                                   rtol=1e-6)

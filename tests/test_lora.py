@@ -117,3 +117,84 @@ class TestLoraTraining:
             state1.trainable["llm"]["layers"]["lora"]["qb"]))
         np.testing.assert_array_equal(before_base, after_base)
         assert np.abs(after_qb - before_qb).max() > 0
+
+
+class TestLoraAlignCache:
+    def test_cached_align_matches_per_step_projection(self):
+        """LoRA training with the precomputed align K/V cache (bf16 =
+        bit-exact) computes the same loss as the per-step projection."""
+        import dataclasses
+        import jax
+        import numpy as np
+        from macaw_llm_tpu.config import (Config, MeshConfig, TrainConfig,
+                                          tiny_model_config)
+        from macaw_llm_tpu.models import fusion
+        from macaw_llm_tpu.parallel.mesh import create_mesh
+        from macaw_llm_tpu.train.trainer import Trainer
+        from tests.test_train_distributed import make_batch
+
+        def run(align_cache_mode):
+            cfg = Config(model=tiny_model_config(),
+                         mesh=MeshConfig(data=1, fsdp=8, tensor=1),
+                         train=TrainConfig(per_device_batch_size=1,
+                                           grad_accum_steps=1,
+                                           lora_rank=4,
+                                           align_cache=align_cache_mode))
+            mesh = create_mesh(cfg.mesh)
+            trainer = Trainer(cfg, mesh, total_steps=10)
+            params = fusion.init_params(jax.random.PRNGKey(21), cfg.model)
+            from macaw_llm_tpu.train.lora import init_lora
+            params["llm"]["layers"]["lora"] = init_lora(
+                jax.random.PRNGKey(22), cfg.model.llm, 4)
+            state = trainer.init_state(params)
+            if align_cache_mode == "off":
+                assert trainer._align_cache is None
+            else:
+                assert trainer._align_cache is not None
+            batch = make_batch(cfg, accum=1, batch=8)
+            _, m = trainer.train_step(state, batch)
+            return float(m["loss"])
+
+        l_off = run("off")
+        l_bf16 = run("bf16")
+        l_int8 = run("int8")
+        np.testing.assert_allclose(l_bf16, l_off, rtol=1e-5)
+        np.testing.assert_allclose(l_int8, l_off, rtol=2e-2)
+
+
+class TestQuantizedBase:
+    def test_qlora_trains_and_base_stays_int8(self):
+        """quantize_base=True (QLoRA; reference scaffolds load_in_8bit at
+        run_clm_llms.py:489): frozen LLM matmul weights become int8
+        records, training still descends, adapters stay fp32."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from macaw_llm_tpu.config import (Config, MeshConfig, TrainConfig,
+                                          tiny_model_config)
+        from macaw_llm_tpu.models import fusion
+        from macaw_llm_tpu.parallel.mesh import create_mesh
+        from macaw_llm_tpu.train.lora import init_lora
+        from macaw_llm_tpu.train.trainer import Trainer
+        from tests.test_train_distributed import make_batch
+
+        cfg = Config(model=tiny_model_config(),
+                     mesh=MeshConfig(data=1, fsdp=8, tensor=1),
+                     train=TrainConfig(per_device_batch_size=1,
+                                       grad_accum_steps=1, lora_rank=4,
+                                       quantize_base=True))
+        mesh = create_mesh(cfg.mesh)
+        trainer = Trainer(cfg, mesh, total_steps=10)
+        params = fusion.init_params(jax.random.PRNGKey(31), cfg.model)
+        params["llm"]["layers"]["lora"] = init_lora(
+            jax.random.PRNGKey(32), cfg.model.llm, 4)
+        state = trainer.init_state(params)
+        wq = state.frozen["llm"]["layers"]["attn"]["wq"]
+        assert isinstance(wq, dict) and wq["q"].dtype == jnp.int8
+        batch = make_batch(cfg, accum=1, batch=8)
+        losses = []
+        for _ in range(3):
+            state, m = trainer.train_step(state, batch)
+            losses.append(float(m["loss"]))
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]

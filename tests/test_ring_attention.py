@@ -8,7 +8,9 @@ import pytest
 from macaw_llm_tpu.config import MeshConfig
 from macaw_llm_tpu.ops import causal_mask, dot_product_attention
 from macaw_llm_tpu.parallel.mesh import create_mesh
-from macaw_llm_tpu.parallel.ring_attention import ring_attention
+from macaw_llm_tpu.parallel.ring_attention import (inverse_permutation,
+                                                   ring_attention,
+                                                   zigzag_indices)
 
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 simulated devices")
@@ -57,6 +59,73 @@ class TestRingAttention:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-3, atol=5e-5,
                                        err_msg=f"d{name}")
+
+
+class TestZigzag:
+    def test_indices_roundtrip(self):
+        perm = zigzag_indices(64, 4)
+        inv = inverse_permutation(perm)
+        np.testing.assert_array_equal(np.asarray(perm)[np.asarray(inv)],
+                                      np.arange(64))
+        # device i owns block i (early) and block 2n-1-i (late)
+        p = np.asarray(perm).reshape(4, 16)
+        np.testing.assert_array_equal(p[0][:8], np.arange(0, 8))
+        np.testing.assert_array_equal(p[0][8:], np.arange(56, 64))
+
+    def test_zigzag_matches_full_causal_attention(self):
+        """Permute q/k/v by the zig-zag layout, run the balanced ring,
+        unpermute — must equal full causal attention."""
+        mesh = create_mesh(MeshConfig(data=1, fsdp=2, tensor=4))
+        s = 256
+        q, k, v = make_qkv(s=s, seed=3)
+        ref = dot_product_attention(q, k, v, causal_mask(s, s))
+        perm = zigzag_indices(s, 4)
+        inv = inverse_permutation(perm)
+        got = ring_attention(q[:, perm], k[:, perm], v[:, perm],
+                             mesh=mesh, axis="tensor", layout="zigzag",
+                             block_q=16, block_k=16)
+        np.testing.assert_allclose(np.asarray(got[:, inv]), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-5)
+
+    def test_zigzag_gradients_match(self):
+        mesh = create_mesh(MeshConfig(data=1, fsdp=2, tensor=4))
+        s = 128
+        q, k, v = make_qkv(s=s, n=1, d=32, seed=4)
+        perm = zigzag_indices(s, 4)
+
+        def loss_ring(q, k, v):
+            return ring_attention(q[:, perm], k[:, perm], v[:, perm],
+                                  mesh=mesh, axis="tensor",
+                                  layout="zigzag",
+                                  block_q=16, block_k=16).sum()
+
+        def loss_ref(q, k, v):
+            return dot_product_attention(q, k, v,
+                                         causal_mask(s, s)).sum()
+
+        gr = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        gf = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gr, gf, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=5e-5,
+                                       err_msg=f"d{name}")
+
+
+class TestAlignedLoss:
+    def test_matches_clm_loss_on_preshifted_labels(self):
+        from macaw_llm_tpu.config import IGNORE_ID
+        from macaw_llm_tpu.models.llama import clm_loss, clm_loss_aligned
+        rng = np.random.RandomState(5)
+        logits = jnp.asarray(rng.randn(2, 16, 32), jnp.float32)
+        labels = rng.randint(0, 32, (2, 16))
+        labels[:, :3] = IGNORE_ID
+        labels = jnp.asarray(labels)
+        targets = jnp.concatenate(
+            [labels[:, 1:],
+             jnp.full((2, 1), IGNORE_ID, labels.dtype)], axis=1)
+        np.testing.assert_allclose(
+            float(clm_loss_aligned(logits, targets)),
+            float(clm_loss(logits, labels)), rtol=1e-6)
 
 
 class TestRingInDecoder:

@@ -277,3 +277,70 @@ class TestShardedGeneration:
                        max_new_tokens=8, eos_id=2, pad_id=0)
         np.testing.assert_array_equal(np.asarray(ref.tokens),
                                       np.asarray(got.tokens))
+
+
+class TestRingTrainer:
+    def test_ring_train_step_loss_matches_plain(self):
+        """cfg.model.ring_attention=True is a pure config change: the
+        Trainer passes its mesh through and the zig-zag sequence-sharded
+        step computes the same loss as the plain step (VERDICT r1 #3)."""
+        import dataclasses
+        base = Config(model=tiny_model_config(),
+                      mesh=MeshConfig(data=1, fsdp=2, tensor=4),
+                      train=TrainConfig(per_device_batch_size=1,
+                                        grad_accum_steps=1))
+        mesh = create_mesh(base.mesh)
+        # fused len (prefix 20 + text) must divide 2 x ring size (8)
+        batch = make_batch(base, accum=1, batch=4, seq=12)
+
+        params = fusion.init_params(jax.random.PRNGKey(11), base.model)
+        t_plain = Trainer(base, mesh, total_steps=10)
+        s_plain = t_plain.init_state(params)
+        _, m_plain = t_plain.train_step(s_plain, batch)
+
+        ring_cfg = dataclasses.replace(
+            base, model=dataclasses.replace(base.model,
+                                            ring_attention=True,
+                                            ring_axis="tensor"))
+        t_ring = Trainer(ring_cfg, mesh, total_steps=10)
+        s_ring = t_ring.init_state(
+            fusion.init_params(jax.random.PRNGKey(11), ring_cfg.model))
+        new_state, m_ring = t_ring.train_step(s_ring, batch)
+        np.testing.assert_allclose(float(m_ring["loss"]),
+                                   float(m_plain["loss"]),
+                                   rtol=2e-3)
+        assert np.isfinite(float(m_ring["grad_norm"]))
+
+
+class TestEvaluate:
+    def test_evaluate_returns_loss_and_accuracy(self):
+        cfg = tiny_config()
+        mesh = create_mesh(cfg.mesh)
+        trainer = Trainer(cfg, mesh, total_steps=10)
+        state = trainer.init_state(
+            fusion.init_params(jax.random.PRNGKey(13), cfg.model))
+        batches = [jax.tree.map(lambda x: x[0], make_batch(cfg, accum=1,
+                                                           batch=8))
+                   for _ in range(2)]
+        m = trainer.evaluate(state, iter(batches))
+        assert np.isfinite(m["eval_loss"])
+        assert 0.0 <= m["eval_token_accuracy"] <= 1.0
+        # untrained tiny model over a 32k vocab: near-zero accuracy
+        assert m["eval_token_accuracy"] < 0.2
+
+    def test_eval_accuracy_counts_only_valid_tokens(self):
+        """Token accuracy must be token-weighted over non-ignored labels
+        (reference run_clm_llms.py:515-528 preprocess_logits + accuracy)."""
+        cfg = tiny_config()
+        mesh = create_mesh(cfg.mesh)
+        trainer = Trainer(cfg, mesh, total_steps=10)
+        state = trainer.init_state(
+            fusion.init_params(jax.random.PRNGKey(13), cfg.model))
+        batch = jax.tree.map(lambda x: x[0], make_batch(cfg, accum=1,
+                                                        batch=8))
+        loss, correct, total = trainer.eval_step_fn()(state, batch)
+        # labels: 16 positions, first 4 ignored; shifted targets drop one
+        # more -> 12 scoreable positions per row... but the count is over
+        # the extended (prefix+text) sequence, still 12 valid per row
+        assert int(total) == 8 * 12
+        assert 0 <= int(correct) <= int(total)
