@@ -275,13 +275,26 @@ def bench_train(args, cfg, dev):
     # everything trainable; frozen encoders cast to bf16 (they compute in
     # bf16 anyway — identical numerics, half the HBM).
     pd = jnp.bfloat16 if lora else jnp.float32
-    params = jax.jit(lambda k: fusion.init_params(k, mcfg, param_dtype=pd)
-                     )(jax.random.PRNGKey(0))
     if lora:
+        # one fused init: bf16 init -> int8 quantize -> adapters, so the
+        # bf16 base only ever exists as executable temps and the
+        # long-lived int8/adapters come out compact (fragmentation
+        # matters at 7b: the train step needs a multi-GB contiguous
+        # temp slab at runtime)
         from macaw_llm_tpu.train.lora import init_lora
-        params["llm"]["layers"]["lora"] = init_lora(
-            jax.random.PRNGKey(1), mcfg.llm, tcfg.lora_rank)
+        from macaw_llm_tpu.utils.quantize import quantize_llama
+
+        def _init(k1, k2):
+            p = fusion.init_params(k1, mcfg, param_dtype=pd)
+            p["llm"] = quantize_llama(p["llm"])
+            p["llm"]["layers"]["lora"] = init_lora(k2, mcfg.llm,
+                                                   tcfg.lora_rank)
+            return p
+
+        params = jax.jit(_init)(jax.random.PRNGKey(0), jax.random.PRNGKey(1))
     else:
+        params = jax.jit(lambda k: fusion.init_params(
+            k, mcfg, param_dtype=pd))(jax.random.PRNGKey(0))
         for k in ("image_encoder", "video_encoder", "audio_encoder"):
             params[k] = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16), params[k])

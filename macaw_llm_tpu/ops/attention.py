@@ -128,6 +128,87 @@ def mha_apply(params: dict, num_heads: int,
     return _proj(params["o"], _merge_heads(out))
 
 
+def dropout_attention_chunked(qh: jnp.ndarray, kh: jnp.ndarray,
+                              vh: jnp.ndarray, *, scale: float,
+                              rate: float, rng: jax.Array,
+                              chunk: int = 0) -> jnp.ndarray:
+    """Attention-prob dropout without materializing [.., Sq, Sk] probs.
+
+    Streams K/V in chunks with an online softmax; torch's
+    ``dropout(softmax(logits)) @ V`` commutes with the online
+    normalization because the dropout mask scales the numerator terms
+    only: accumulate the DROPPED unnormalized probs against V and the
+    UNDROPPED row-sums, divide at the end. Each chunk's mask comes from
+    ``fold_in(rng, chunk_idx)``, regenerated (not stored) in the backward
+    pass via jax.checkpoint — peak HBM is one [B, N, Sq, chunk] fp32
+    logits tile instead of the full probs + mask (0.9 GB for one
+    alignment attention over the 32k-token vocab memory at 7b batch 8).
+
+    qh: [B, Sq, N, D]; kh/vh: [B, Sk, N, D], or [Sk, N, D] for a
+    batch-shared memory. Returns [B, Sq, N, D] in qh.dtype.
+    chunk=0 picks a chunk size targeting ~64 MB logits tiles.
+    """
+    shared = kh.ndim == 3
+    b, sq, n, d = qh.shape
+    sk = kh.shape[0] if shared else kh.shape[1]
+    if chunk <= 0:
+        chunk = max(128, (64 * 2**20) // max(b * n * sq * 4, 1))
+        chunk = min(sk, ((chunk + 127) // 128) * 128)
+    pad = (-sk) % chunk
+    kaxis = 0 if shared else 1
+    if pad:
+        widths = [(0, 0)] * kh.ndim
+        widths[kaxis] = (0, pad)
+        kh = jnp.pad(kh, widths)
+        vh = jnp.pad(vh, widths)
+    nchunks = (sk + pad) // chunk
+    if shared:
+        ks = kh.reshape(nchunks, chunk, n, d)
+        vs = vh.reshape(nchunks, chunk, n, d)
+        eq = "bqnd,knd->bnqk"
+    else:
+        ks = kh.reshape(b, nchunks, chunk, n, d).transpose(1, 0, 2, 3, 4)
+        vs = vh.reshape(b, nchunks, chunk, n, d).transpose(1, 0, 2, 3, 4)
+        eq = "bqnd,bknd->bnqk"
+    valid_len = sk  # keys >= sk are padding: forced to -inf
+
+    @jax.checkpoint
+    def one_chunk(q, k_c, v_c, idx):
+        logits = jnp.einsum(eq, q, k_c,
+                            preferred_element_type=jnp.float32) * scale
+        kpos = idx * chunk + jnp.arange(chunk)
+        logits = jnp.where(kpos[None, None, None, :] < valid_len, logits,
+                           jnp.finfo(jnp.float32).min)
+        m = jnp.max(logits, axis=-1)                       # [B, N, Sq]
+        p = jnp.exp(logits - m[..., None])
+        keep = jax.random.bernoulli(jax.random.fold_in(rng, idx),
+                                    1.0 - rate, p.shape)
+        pd = jnp.where(keep, p, 0.0).astype(v_c.dtype)
+        part = jnp.einsum("bnqk,knd->bnqd" if shared else
+                          "bnqk,bknd->bnqd", pd, v_c,
+                          preferred_element_type=jnp.float32)
+        return m, p.sum(-1), part
+
+    def body(carry, xs):
+        m_run, l_run, acc = carry
+        k_c, v_c, idx = xs
+        m_c, l_c, part = one_chunk(qh, k_c, v_c, idx)
+        m_new = jnp.maximum(m_run, m_c)
+        corr_run = jnp.exp(m_run - m_new)
+        corr_c = jnp.exp(m_c - m_new)
+        acc = acc * corr_run[..., None] + part * corr_c[..., None]
+        l_run = l_run * corr_run + l_c * corr_c
+        return (m_new, l_run, acc), None
+
+    neg = jnp.full((b, n, sq), jnp.finfo(jnp.float32).min, jnp.float32)
+    zeros_l = jnp.zeros((b, n, sq), jnp.float32)
+    zeros_a = jnp.zeros((b, n, sq, d), jnp.float32)
+    (_, l, acc), _ = jax.lax.scan(body, (neg, zeros_l, zeros_a),
+                                  (ks, vs, jnp.arange(nchunks)))
+    out = acc / (jnp.maximum(l, 1e-20)[..., None] * (1.0 - rate))
+    return out.transpose(0, 2, 1, 3).astype(qh.dtype)
+
+
 # ---------------------------------------------------------------------------
 # torch.nn.MultiheadAttention parity (alignment attention)
 # ---------------------------------------------------------------------------
@@ -201,20 +282,18 @@ def torch_mha_apply(params: dict, num_heads: int,
     vh = _split_heads(v, num_heads)
 
     scale = (e // num_heads) ** -0.5
-    if use_flash and (dropout_rate == 0.0 or dropout_rng is None):
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        # training: streaming online-softmax with in-chunk dropout — the
+        # [B, N, Sq, Sk] probs tensor never exists in HBM
+        out = dropout_attention_chunked(qh, kh, vh, scale=scale,
+                                        rate=dropout_rate,
+                                        rng=dropout_rng)
+    elif use_flash:
         out = flash_sdpa(qh, kh, vh, scale=scale)
     else:
         logits = jnp.einsum("bqnd,bknd->bnqk", qh, kh,
                             preferred_element_type=jnp.float32) * scale
-        # softmax in fp32, dropout on compute-dtype probs (what torch
-        # AMP does: fp32-stable softmax, fp16/bf16 attn weights) — halves
-        # the dropout mask + probs HBM in training
         probs = jax.nn.softmax(logits, axis=-1).astype(query.dtype)
-        if dropout_rate > 0.0 and dropout_rng is not None:
-            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
-                                        probs.shape)
-            probs = jnp.where(keep, probs / (1.0 - dropout_rate),
-                              jnp.zeros((), probs.dtype))
         out = jnp.einsum("bnqk,bknd->bqnd", probs, vh)
     out = _merge_heads(out)
     return out @ params["out_proj_w"].astype(out.dtype).T + \
@@ -277,17 +356,17 @@ def torch_mha_apply_shared_kv(params: dict, num_heads: int,
     vh = v.reshape(-1, num_heads, d)
 
     scale = d ** -0.5
-    logits = jnp.einsum("bqnd,mnd->bnqm", qh, kh,
-                        preferred_element_type=jnp.float32) * scale
-    # fp32 softmax, compute-dtype dropout (torch-AMP semantics; halves
-    # the training-time probs/mask HBM over the 32k-row vocab memory)
-    probs = jax.nn.softmax(logits, axis=-1).astype(query.dtype)
     if dropout_rate > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
-                                    probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - dropout_rate),
-                          jnp.zeros((), probs.dtype))
-    out = jnp.einsum("bnqm,mnd->bqnd", probs, vh)
+        # training: stream the 32k-row vocab memory in chunks — the
+        # [B, N, Sq, |V|] probs tensor (0.6-0.9 GB at 7b) never exists
+        out = dropout_attention_chunked(qh, kh, vh, scale=scale,
+                                        rate=dropout_rate,
+                                        rng=dropout_rng)
+    else:
+        logits = jnp.einsum("bqnd,mnd->bnqm", qh, kh,
+                            preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(logits, axis=-1).astype(query.dtype)
+        out = jnp.einsum("bnqm,mnd->bqnd", probs, vh)
     out = out.reshape(bsz, sq, e)
     return out @ params["out_proj_w"].astype(out.dtype).T + \
         params["out_proj_b"].astype(out.dtype)

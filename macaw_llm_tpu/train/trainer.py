@@ -189,9 +189,11 @@ class Trainer:
         if self.cfg.train.quantize_base:
             assert self.cfg.train.lora_rank > 0, \
                 "quantize_base requires LoRA (the base must be frozen)"
-            from macaw_llm_tpu.utils.quantize import quantize_llama
-            params = dict(params)
-            params["llm"] = quantize_llama(params["llm"], donate=True)
+            if not isinstance(params["llm"]["layers"]["attn"].get("wq"),
+                              dict):  # caller may pre-quantize in one jit
+                from macaw_llm_tpu.utils.quantize import quantize_llama
+                params = dict(params)
+                params["llm"] = quantize_llama(params["llm"], donate=True)
         trainable, frozen = split_params(
             params, self.cfg.train.freeze_encoders,
             lora=self.cfg.train.lora_rank > 0)

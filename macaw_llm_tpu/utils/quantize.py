@@ -91,4 +91,11 @@ def matmul(x: jnp.ndarray, w, compute) -> jnp.ndarray:
     """
     if not (isinstance(w, dict) and "q" in w):
         return x @ w.astype(compute)
-    return x @ dequantize(w["q"], w["s"], compute)
+    # optimization_barrier pins the dequant to its use site: inside a
+    # lax.scan over stacked layers XLA otherwise rewrites
+    # convert(dynamic-slice(W)) -> dynamic-slice(convert(W)) (loop-
+    # invariant code motion), materializing the ENTIRE dequantized stack
+    # — 12 GB of bf16 temps for a 7b QLoRA step. The barrier keeps the
+    # sliced int8 loop-variant so only one layer is ever dequantized.
+    q, s = jax.lax.optimization_barrier((w["q"], w["s"]))
+    return x @ dequantize(q, s, compute)

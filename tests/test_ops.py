@@ -190,3 +190,94 @@ class TestTorchMHAParity:
         p = torch_mha_init(jax.random.PRNGKey(0), 16, 4)
         assert p["in_proj_w"].shape == (48, 16)
         assert p["bias_k"].shape == (16,)
+
+
+class TestDropoutAttentionChunked:
+    """Streaming attention-prob dropout (training path of the fusion
+    attentions): must equal the materializing implementation."""
+
+    def _ref_with_masks(self, qh, kh, vh, scale, rate, rng, chunk):
+        """Materializing reference applying the SAME per-chunk masks."""
+        import jax
+        shared = kh.ndim == 3
+        sk = kh.shape[0] if shared else kh.shape[1]
+        eq = "bqnd,knd->bnqk" if shared else "bqnd,bknd->bnqk"
+        logits = jnp.einsum(eq, qh, kh,
+                            preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(logits, axis=-1)
+        keeps = []
+        for c in range(sk // chunk):
+            shape = probs.shape[:-1] + (chunk,)
+            keeps.append(jax.random.bernoulli(
+                jax.random.fold_in(rng, c), 1.0 - rate, shape))
+        keep = jnp.concatenate(keeps, axis=-1)
+        probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
+        eq2 = "bnqk,knd->bqnd" if shared else "bnqk,bknd->bqnd"
+        return jnp.einsum(eq2, probs, vh)
+
+    def test_zero_rate_matches_plain_attention(self):
+        from macaw_llm_tpu.ops.attention import (dot_product_attention,
+                                                 dropout_attention_chunked)
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(2, 7, 2, 16) * 0.5, jnp.float32)
+        k = jnp.asarray(rng.randn(2, 300, 2, 16) * 0.5, jnp.float32)
+        v = jnp.asarray(rng.randn(2, 300, 2, 16) * 0.5, jnp.float32)
+        ref = dot_product_attention(q, k, v, scale=0.25)
+        got = dropout_attention_chunked(q, k, v, scale=0.25, rate=0.0,
+                                        rng=jax.random.PRNGKey(0),
+                                        chunk=128)  # 300 pads to 384
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_matches_materializing_dropout_batched(self):
+        from macaw_llm_tpu.ops.attention import dropout_attention_chunked
+        rng = np.random.RandomState(1)
+        key = jax.random.PRNGKey(7)
+        q = jnp.asarray(rng.randn(2, 5, 2, 16) * 0.5, jnp.float32)
+        k = jnp.asarray(rng.randn(2, 256, 2, 16) * 0.5, jnp.float32)
+        v = jnp.asarray(rng.randn(2, 256, 2, 16) * 0.5, jnp.float32)
+        ref = self._ref_with_masks(q, k, v, 0.25, 0.1, key, 128)
+        got = dropout_attention_chunked(q, k, v, scale=0.25, rate=0.1,
+                                        rng=key, chunk=128)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_matches_materializing_dropout_shared_kv_and_grads(self):
+        from macaw_llm_tpu.ops.attention import dropout_attention_chunked
+        rng = np.random.RandomState(2)
+        key = jax.random.PRNGKey(9)
+        q = jnp.asarray(rng.randn(2, 4, 2, 16) * 0.5, jnp.float32)
+        k = jnp.asarray(rng.randn(384, 2, 16) * 0.5, jnp.float32)
+        v = jnp.asarray(rng.randn(384, 2, 16) * 0.5, jnp.float32)
+
+        def f_chunk(q, k, v):
+            return dropout_attention_chunked(
+                q, k, v, scale=0.25, rate=0.1, rng=key, chunk=128).sum()
+
+        def f_ref(q, k, v):
+            return self._ref_with_masks(q, k, v, 0.25, 0.1, key, 128).sum()
+
+        np.testing.assert_allclose(float(f_chunk(q, k, v)),
+                                   float(f_ref(q, k, v)), rtol=1e-4)
+        gc = jax.grad(f_chunk, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gc, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-5,
+                                       err_msg=f"d{name}")
+
+    def test_mha_dropout_expectation(self):
+        """torch_mha_apply's dropout path (now chunked) keeps the
+        no-dropout output in expectation."""
+        from macaw_llm_tpu.ops.attention import (torch_mha_apply,
+                                                 torch_mha_init)
+        params = torch_mha_init(jax.random.PRNGKey(0), 32, 2)
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(2, 20, 32) * 0.5, jnp.float32)
+        base = torch_mha_apply(params, 2, x, x, x)
+        outs = [torch_mha_apply(params, 2, x, x, x, dropout_rate=0.1,
+                                dropout_rng=jax.random.PRNGKey(i))
+                for i in range(30)]
+        mean = jnp.stack(outs).mean(0)
+        np.testing.assert_allclose(np.asarray(mean), np.asarray(base),
+                                   rtol=0.2, atol=0.05)
