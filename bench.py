@@ -301,7 +301,7 @@ def bench_train(args, cfg, dev):
     jax.block_until_ready(params)
 
     trainer = Trainer(full_cfg, mesh, total_steps=1000)
-    state = trainer.init_state(params)
+    state = trainer.init_state(params, donate=True)
     del params
     jax.block_until_ready(state.trainable)
 

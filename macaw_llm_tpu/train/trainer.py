@@ -183,9 +183,16 @@ class Trainer:
     # -------------------- state --------------------
 
     def init_state(self, params: dict,
-                   rng: Optional[jax.Array] = None) -> TrainState:
+                   rng: Optional[jax.Array] = None,
+                   donate: bool = False) -> TrainState:
         """Create the train state ON the mesh: params are placed per the
-        partition rules; optimizer state inherits via GSPMD propagation."""
+        partition rules; optimizer state inherits via GSPMD propagation.
+
+        donate=True aliases the caller's param buffers into the state
+        instead of copying (the caller must not touch ``params`` after).
+        Single-chip 7b fine-tunes need this: the copy ping-pong
+        fragments HBM and the train step then cannot place its multi-GB
+        contiguous temp slab."""
         if self.cfg.train.quantize_base:
             assert self.cfg.train.lora_rank > 0, \
                 "quantize_base requires LoRA (the base must be frozen)"
@@ -201,9 +208,13 @@ class Trainer:
         f_shard = infer_shardings(frozen, self.mesh)
         # jitted identity instead of device_put: device_put may alias the
         # caller's buffers, and train_step donates the state — every
-        # init_state must own fresh storage.
-        trainable = jax.jit(lambda t: t, out_shardings=t_shard)(trainable)
-        frozen = (jax.jit(lambda t: t, out_shardings=f_shard)(frozen)
+        # init_state must own fresh storage (unless donate=True, where
+        # ownership transfers and no copy happens at all).
+        kw = dict(donate_argnums=(0,)) if donate else {}
+        trainable = jax.jit(lambda t: t, out_shardings=t_shard,
+                            **kw)(trainable)
+        frozen = (jax.jit(lambda t: t, out_shardings=f_shard,
+                          **kw)(frozen)
                   if frozen else frozen)
 
         abstract = jax.eval_shape(self.tx.init, trainable)
