@@ -46,6 +46,13 @@ def main():
                    help="grad-accumulation microbatches (train mode)")
     p.add_argument("--lora", action="store_true",
                    help="force LoRA in train mode (default: 7b only)")
+    p.add_argument("--no-remat", action="store_true",
+                   help="disable per-layer rematerialization (train mode; "
+                        "pays HBM for ~25%% fewer recompute FLOPs)")
+    p.add_argument("--remat-policy", default="nothing",
+                   choices=["nothing", "dots"],
+                   help="remat policy (train mode): dots saves matmul "
+                        "outputs, recomputing only elementwise ops")
     p.add_argument("--quantize", default=None, choices=[None, "int8"],
                    help="weight-only quantization for the decode path")
     p.add_argument("--align-cache", default="int8",
@@ -72,20 +79,30 @@ def main():
     if args.mode == "train":
         return bench_train(args, cfg, dev)
 
-    # init params directly on device in bf16 (bench is inference-style)
+    # init params directly on device in bf16 (bench is inference-style).
+    # ONE fused jit builds params + align cache (+ int8 decode weights):
+    # the transients only exist as that executable's temp slab, and the
+    # long-lived buffers come out compact — repeated init/convert/free
+    # cycles checkerboard HBM until multi-GB temp slabs cannot be placed
+    # (what previously broke 7b int8 decode at runtime).
     import dataclasses
     cfg = dataclasses.replace(cfg, dtype="bfloat16")
-    init = jax.jit(lambda key: fusion.init_params(key, cfg,
-                                                  param_dtype=jnp.bfloat16))
-    params = init(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-    # weight-only alignment K/V projections, computed once per weight set
-    # (inference path; training recomputes for gradients)
-    align_cache = None
-    if args.align_cache != "off":
-        align_cache = jax.jit(lambda p: fusion.precompute_align_cache(
-            p, cfg, quantize=args.align_cache == "int8"))(params)
-        jax.block_until_ready(align_cache)
+    quant_decode = args.mode == "decode" and args.quantize == "int8"
+
+    def _init(key):
+        p = fusion.init_params(key, cfg, param_dtype=jnp.bfloat16)
+        cache = None
+        if args.align_cache != "off":
+            cache = fusion.precompute_align_cache(
+                p, cfg, quantize=args.align_cache == "int8")
+        if quant_decode:
+            from macaw_llm_tpu.utils.quantize import quantize_llama
+            p["llm"] = quantize_llama(p["llm"])
+        return p, cache
+
+    params, align_cache = jax.jit(_init)(jax.random.PRNGKey(0))
+    jax.block_until_ready((params, align_cache))
+    if align_cache is not None:
         # the cache path reads only the Q rows of the packed
         # in-projections; drop the dead K/V rows (402 MB at 7b) before the
         # timed region (eager slicing — jit would copy the whole tree)
@@ -111,11 +128,7 @@ def main():
 
     if args.mode == "decode":
         from macaw_llm_tpu.generate import generate
-        llm_params = params["llm"]
-        if args.quantize == "int8":
-            from macaw_llm_tpu.utils.quantize import quantize_llama
-            llm_params = jax.jit(quantize_llama)(params["llm"])
-            jax.block_until_ready(llm_params)
+        llm_params = params["llm"]  # already int8 when --quantize int8
 
         @jax.jit
         def fuse(params, batch, align_cache):
@@ -253,7 +266,9 @@ def bench_train(args, cfg, dev):
     from macaw_llm_tpu.train.trainer import Trainer
 
     lora = args.lora or args.profile == "7b"
-    mcfg = dataclasses.replace(cfg, dtype="bfloat16", remat=True,
+    mcfg = dataclasses.replace(cfg, dtype="bfloat16",
+                               remat=not args.no_remat,
+                               remat_policy=args.remat_policy,
                                loss_chunk=256)
     tcfg = TrainConfig(per_device_batch_size=args.batch,
                        grad_accum_steps=args.accum,

@@ -168,6 +168,9 @@ class ModelConfig:
     dtype: str = "bfloat16"            # compute dtype on TPU
     param_dtype: str = "float32"       # master params
     remat: bool = False                # jax.checkpoint per decoder layer
+    remat_policy: str = "nothing"      # "nothing" recomputes everything;
+                                       # "dots" saves matmul outputs
+                                       # (less recompute, more HBM)
     use_flash: bool = False            # Pallas flash attention in the LLM
     # streaming-kernel attention in the CLIP/Whisper towers. Measured on a
     # v5e: LOSES to the XLA einsum path at reference shapes (d=64/96 heads

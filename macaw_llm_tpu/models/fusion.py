@@ -483,7 +483,7 @@ def forward(params: dict, cfg: ModelConfig, *,
         # logits tensor (returns logits=None; eval keeps the full head)
         h, _ = llama.forward_hidden(
             params["llm"], cfg.llm, batch.inputs_embeds,
-            attention_mask=batch.attention_mask, remat=cfg.remat,
+            attention_mask=batch.attention_mask, remat=(cfg.remat_policy if cfg.remat else False),
             use_flash=cfg.use_flash, lora_scale=lora_scale,
             shard_sequence=cfg.shard_sequence)
         loss = llama.clm_loss_chunked(params["llm"], h, batch.labels,
@@ -492,7 +492,7 @@ def forward(params: dict, cfg: ModelConfig, *,
 
     logits, _ = llama.forward(
         params["llm"], cfg.llm, inputs_embeds=batch.inputs_embeds,
-        attention_mask=batch.attention_mask, remat=cfg.remat,
+        attention_mask=batch.attention_mask, remat=(cfg.remat_policy if cfg.remat else False),
         use_flash=cfg.use_flash, lora_scale=lora_scale,
         shard_sequence=cfg.shard_sequence,
         dtype=batch.inputs_embeds.dtype)
@@ -527,7 +527,7 @@ def _forward_ring(params: dict, cfg: ModelConfig, batch: FusedBatch,
         positions = jnp.broadcast_to(perm[None].astype(jnp.int32), (b, s))
     logits, _ = llama.forward(
         params["llm"], cfg.llm, inputs_embeds=embeds,
-        positions=positions, remat=cfg.remat, lora_scale=lora_scale,
+        positions=positions, remat=(cfg.remat_policy if cfg.remat else False), lora_scale=lora_scale,
         ring_mesh=ring_mesh, ring_axis=cfg.ring_axis,
         ring_layout=cfg.ring_layout, dtype=embeds.dtype)
     loss = None

@@ -263,8 +263,13 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
                        ring_mesh=ring_mesh if kv_cache is None else None,
                        ring_axis=ring_axis, ring_layout=ring_layout)
     if remat:
-        layer_fn = jax.checkpoint(layer_fn,
-                                  policy=jax.checkpoint_policies.nothing_saveable)
+        # remat accepts False | True/"nothing" | "dots": "dots" saves
+        # matmul outputs and recomputes only elementwise ops in the
+        # backward pass — less recompute where HBM allows (1b profile)
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if remat == "dots"
+                  else jax.checkpoint_policies.nothing_saveable)
+        layer_fn = jax.checkpoint(layer_fn, policy=policy)
 
     def scan_body(h, xs):
         if kv_cache is not None:
