@@ -297,6 +297,10 @@ class TrainConfig:
     # from 16 to 10.5 bytes; masters and the second moment stay fp32.
     grad_dtype: str = "float32"      # "bfloat16" halves the grad tree
     mu_dtype: str = "float32"        # "bfloat16" halves Adam's m
+    # storage dtype for FROZEN params ("param" = keep as loaded). They
+    # compute in bf16 regardless, so fp32 frozen copies are pure HBM
+    # waste; bf16 storage is numerically identical end-to-end.
+    frozen_dtype: str = "bfloat16"
     # LoRA-only: precompute the alignment K/V projections of the frozen
     # vocab memory once instead of per-step (saves ~1.75 GB of temps and
     # 6.4 TFLOP/step at 7b). "int8" halves the cache HBM (0.79 GB vs

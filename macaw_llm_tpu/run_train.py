@@ -229,9 +229,28 @@ def main(argv=None):
     state = trainer.init_state(params)
     del params
 
-    ckpt = CheckpointManager(args.output_dir,
-                             save_steps=cfg.train.save_steps,
-                             max_to_keep=cfg.train.save_total_limit)
+    if cfg.train.save_steps > 0:
+        ckpt = CheckpointManager(args.output_dir,
+                                 save_steps=cfg.train.save_steps,
+                                 max_to_keep=cfg.train.save_total_limit)
+    else:
+        # save_steps=0 disables checkpointing entirely (benchmark runs;
+        # also the axon relay moves ~4 MB/s d2h, making multi-GB saves
+        # impractical in this environment)
+        class _NullCkpt:
+            def save(self, *a, **k):
+                return False
+
+            def wait(self):
+                pass
+
+            def close(self):
+                pass
+
+            def latest_step(self):
+                return None
+
+        ckpt = _NullCkpt()
     if cfg.train.resume and ckpt.latest_step() is not None:
         logger.info("resuming from step %s", ckpt.latest_step())
         state = ckpt.restore(state)

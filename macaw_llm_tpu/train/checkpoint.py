@@ -26,6 +26,7 @@ class CheckpointManager:
     def __init__(self, directory: str, save_steps: int = 5000,
                  max_to_keep: int = 1):
         self.directory = os.path.abspath(directory)
+        self.save_steps = max(save_steps, 1)
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self.directory,
@@ -41,10 +42,23 @@ class CheckpointManager:
         step = int(state.step)
         if step in self._mgr.all_steps():
             return False  # already checkpointed at this step
+        if not force and step % self.save_steps != 0:
+            # Orbax's CheckpointManager force-saves the first step it
+            # sees regardless of save_interval_steps; gate here so a
+            # step-1 multi-GB write cannot stall a fresh run
+            return False
         saved = self._mgr.save(
             step, args=ocp.args.Composite(
                 state=ocp.args.StandardSave(state)),
             force=force)
+        if saved:
+            # the caller's next train_step DONATES the state buffers; the
+            # async writer must finish reading them first or the d2h
+            # stream deadlocks against the donated-buffer reuse (observed
+            # over the axon tunnel: step-1 checkpoint wedged the run).
+            # The disk write itself stays async inside Orbax; this only
+            # fences the device reads.
+            self._mgr.wait_until_finished()
         if saved and config is not None and jax.process_index() == 0:
             with open(os.path.join(self.directory, "config.json"), "w") as f:
                 f.write(config.to_json())

@@ -204,6 +204,12 @@ class Trainer:
         trainable, frozen = split_params(
             params, self.cfg.train.freeze_encoders,
             lora=self.cfg.train.lora_rank > 0)
+        fd = self.cfg.train.frozen_dtype
+        if frozen and fd != "param":
+            dt = jnp.dtype(fd)
+            frozen = jax.tree.map(
+                lambda x: x.astype(dt)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, frozen)
         t_shard = infer_shardings(trainable, self.mesh)
         f_shard = infer_shardings(frozen, self.mesh)
         # jitted identity instead of device_put: device_put may alias the
@@ -281,7 +287,10 @@ class Trainer:
         (run_clm_llms.py:515-528) computed in-graph so the [B, S, V]
         logits never leave the device."""
         if getattr(self, "_eval", None) is None:
-            mcfg = self.cfg.model
+            import dataclasses
+            # eval needs the full logits for token accuracy — the chunked
+            # CE path (loss_chunk > 0) returns logits=None by design
+            mcfg = dataclasses.replace(self.cfg.model, loss_chunk=0)
             lora_scale = (self.cfg.train.lora_alpha
                           / max(self.cfg.train.lora_rank, 1))
 

@@ -98,4 +98,10 @@ def matmul(x: jnp.ndarray, w, compute) -> jnp.ndarray:
     # — 12 GB of bf16 temps for a 7b QLoRA step. The barrier keeps the
     # sliced int8 loop-variant so only one layer is ever dequantized.
     q, s = jax.lax.optimization_barrier((w["q"], w["s"]))
-    return x @ dequantize(q, s, compute)
+    # scale is per-OUTPUT-channel, so (x @ (q*s)) == (x @ q) * s exactly;
+    # applying it after the dot leaves only a convert on the weight
+    # operand, which XLA fuses into the matmul's HBM read — decode then
+    # streams 1 byte/weight instead of dequantize-to-bf16-and-reread
+    # (int8 q values are integers <= 127: exact in bf16).
+    y = x @ q.astype(compute)
+    return (y * s.reshape((1,) * (y.ndim - 1) + (-1,))).astype(compute)

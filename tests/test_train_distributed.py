@@ -344,3 +344,21 @@ class TestEvaluate:
         # the extended (prefix+text) sequence, still 12 valid per row
         assert int(total) == 8 * 12
         assert 0 <= int(correct) <= int(total)
+
+    def test_evaluate_works_with_chunked_loss_config(self):
+        """loss_chunk>0 (training memory path, logits=None) must not break
+        eval — the eval step forces the full-logits path (regression:
+        crashed the first 1b on-chip run's --do-eval)."""
+        import dataclasses
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, loss_chunk=8))
+        mesh = create_mesh(cfg.mesh)
+        trainer = Trainer(cfg, mesh, total_steps=10)
+        state = trainer.init_state(
+            fusion.init_params(jax.random.PRNGKey(13), cfg.model))
+        batch = jax.tree.map(lambda x: x[0], make_batch(cfg, accum=1,
+                                                        batch=8))
+        m = trainer.evaluate(state, iter([batch]))
+        assert np.isfinite(m["eval_loss"])
+        assert 0.0 <= m["eval_token_accuracy"] <= 1.0
