@@ -98,6 +98,9 @@ def main():
         if quant_decode:
             from macaw_llm_tpu.utils.quantize import quantize_llama
             p["llm"] = quantize_llama(p["llm"])
+        if args.mode == "decode":
+            from macaw_llm_tpu.utils.quantize import pack_llama_for_decode
+            p["llm"] = pack_llama_for_decode(p["llm"])
         return p, cache
 
     params, align_cache = jax.jit(_init)(jax.random.PRNGKey(0))

@@ -111,9 +111,19 @@ def _attention(cfg: LlamaConfig, p: dict, h: jnp.ndarray,
     b, s, _ = h.shape
     n, nkv, d = cfg.num_heads, cfg.kv_heads, cfg.head_dim
     compute = h.dtype
-    q2 = qz.matmul(h, p["wq"], compute)
-    k2 = qz.matmul(h, p["wk"], compute)
-    v2 = qz.matmul(h, p["wv"], compute)
+    if "qkv" in p:
+        # decode-packed layout (pack_llama_for_decode): one [H, (n+2kv)d]
+        # stream instead of three — longer HBM bursts, measured 456 vs
+        # 283 GB/s effective on v5e matvecs
+        assert lora is None, "packed layout is inference-only"
+        fused = qz.matmul(h, p["qkv"], compute)
+        q2 = fused[..., :n * d]
+        k2 = fused[..., n * d:(n + nkv) * d]
+        v2 = fused[..., (n + nkv) * d:]
+    else:
+        q2 = qz.matmul(h, p["wq"], compute)
+        k2 = qz.matmul(h, p["wk"], compute)
+        v2 = qz.matmul(h, p["wv"], compute)
     if lora is not None:
         from macaw_llm_tpu.train.lora import lora_delta
         q2 = q2 + lora_delta(h, lora["qa"], lora["qb"], lora_scale)
@@ -167,6 +177,10 @@ def _mlp(p: dict, h: jnp.ndarray) -> jnp.ndarray:
     """SwiGLU: down(silu(gate(x)) * up(x)) (reference LlamaMLP,
     modeling.py:126-140)."""
     c = h.dtype
+    if "gateup" in p:  # decode-packed layout (pack_llama_for_decode)
+        gu = qz.matmul(h, p["gateup"], c)
+        i = gu.shape[-1] // 2
+        return qz.matmul(silu(gu[..., :i]) * gu[..., i:], p["down"], c)
     return qz.matmul(silu(qz.matmul(h, p["gate"], c))
                      * qz.matmul(h, p["up"], c), p["down"], c)
 

@@ -398,10 +398,22 @@ def main(argv=None):
                    choices=["int8", "bf16", "off"],
                    help="precomputed alignment K/V projections (int8 "
                         "halves the cache HBM; off recomputes per prefill)")
+    p.add_argument("--quantize", default=None, choices=[None, "int8"],
+                   help="int8 weight-only LLM (the single-chip 7b "
+                        "serving configuration)")
+    p.add_argument("--no-pack", action="store_true",
+                   help="keep the unpacked wq/wk/wv layout (packed qkv/"
+                        "gateup streams decode ~1.6x faster on v5e)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.checkpoint) or Config()
     params = restore_params(args.checkpoint, cfg)
+    from macaw_llm_tpu.utils.quantize import (pack_llama_for_decode,
+                                              quantize_llama)
+    if args.quantize == "int8":
+        params["llm"] = quantize_llama(params["llm"], donate=True)
+    if not args.no_pack:
+        params["llm"] = pack_llama_for_decode(params["llm"])
     from transformers import AutoTokenizer
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
     server = serve(params, cfg, tokenizer, host=args.host, port=args.port,

@@ -72,6 +72,36 @@ def quantize_llama(params: dict, donate: bool = False) -> dict:
     return out
 
 
+def pack_llama_for_decode(params: dict) -> dict:
+    """Serving layout: concatenate wq/wk/wv -> qkv and gate/up -> gateup
+    along the output dim (plain arrays or int8 records — per-output
+    scales concatenate the same way).
+
+    Decode is HBM-bound and XLA streams one [16, 4096]x[4096, 4096]
+    matvec at only ~283 GB/s effective on v5e; a single [4096, 12288]
+    stream reaches ~456 GB/s (longer bursts, fewer kernel ramps). The
+    decoder dispatches on the "qkv"/"gateup" keys; exact same math
+    (split after the dot). Inference-only — LoRA and the partition rules
+    target the unpacked names."""
+    def cat(a, b=None, c=None):
+        parts = [x for x in (a, b, c) if x is not None]
+        if isinstance(parts[0], dict):
+            return {"q": jnp.concatenate([p["q"] for p in parts], axis=-1),
+                    "s": jnp.concatenate([p["s"] for p in parts], axis=-1)}
+        return jnp.concatenate(parts, axis=-1)
+
+    out = dict(params)
+    layers = dict(params["layers"])
+    attn = dict(layers["attn"])
+    attn["qkv"] = cat(attn.pop("wq"), attn.pop("wk"), attn.pop("wv"))
+    layers["attn"] = attn
+    mlp = dict(layers["mlp"])
+    mlp["gateup"] = cat(mlp.pop("gate"), mlp.pop("up"))
+    layers["mlp"] = mlp
+    out["layers"] = layers
+    return out
+
+
 def maybe_dequant(w, dtype):
     """Weight accessor used by the decoder: plain array or int8 record."""
     if isinstance(w, dict) and "q" in w:

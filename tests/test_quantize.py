@@ -39,3 +39,39 @@ def test_quantized_forward_close_and_cache_decode():
                               kv_cache=cache)
     assert lg.shape == (2, 5, 128)
     assert int(cache.length) == 5
+
+
+def test_packed_decode_layout_matches_unpacked():
+    """pack_llama_for_decode (qkv / gateup fused streams) is exact: same
+    logits and same generated tokens, bf16 and int8."""
+    import jax
+    import jax.numpy as jnp
+    from macaw_llm_tpu.config import tiny_model_config
+    from macaw_llm_tpu.generate import generate
+    from macaw_llm_tpu.models import fusion, llama
+    from macaw_llm_tpu.utils.quantize import (pack_llama_for_decode,
+                                              quantize_llama)
+    cfg = tiny_model_config()
+    params = fusion.init_params(jax.random.PRNGKey(17), cfg)["llm"]
+    ids = jnp.asarray(np.random.RandomState(0).randint(16, 32000, (2, 12)))
+
+    ref, _ = llama.forward(params, cfg.llm, input_ids=ids)
+    packed = pack_llama_for_decode(params)
+    got, _ = llama.forward(packed, cfg.llm, input_ids=ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+    qparams = quantize_llama(params)
+    qref, _ = llama.forward(qparams, cfg.llm, input_ids=ids)
+    qpacked = pack_llama_for_decode(qparams)
+    qgot, _ = llama.forward(qpacked, cfg.llm, input_ids=ids)
+    np.testing.assert_allclose(np.asarray(qgot), np.asarray(qref),
+                               rtol=2e-5, atol=2e-6)
+
+    # generation (KV-cache decode loop) token parity
+    emb = llama.embed(params, ids)
+    a = generate(qparams, cfg.llm, inputs_embeds=emb, max_new_tokens=8,
+                 eos_id=-1, pad_id=0)
+    b = generate(qpacked, cfg.llm, inputs_embeds=emb, max_new_tokens=8,
+                 eos_id=-1, pad_id=0)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
