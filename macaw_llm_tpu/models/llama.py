@@ -134,21 +134,33 @@ def _attention(cfg: LlamaConfig, p: dict, h: jnp.ndarray,
     q, k = apply_rope(q, k, cos, sin)
 
     if kv is not None:
-        ck, cv = kv
+        # kv = (ck_all [L, B, S, N, D], cv_all, layer_idx): the STACKED
+        # cache is threaded through the layer scan as carry and only the
+        # current token positions are written — a single-position
+        # dynamic-update-slice XLA performs in place. (The previous
+        # xs->ys layout forced a full fresh cache write every decode
+        # step: ~3.2 GB/step at 7b b16, ~25 ms of pure copy.)
+        ck_all, cv_all, li = kv
         if cache_pos.ndim == 1:
             # per-row write positions (continuous batching: every slot has
             # its own sequence length); decode steps only (s == 1)
             rows = jnp.arange(b)
-            ck = ck.at[rows, cache_pos].set(k[:, 0].astype(ck.dtype))
-            cv = cv.at[rows, cache_pos].set(v[:, 0].astype(cv.dtype))
+            ck_all = ck_all.at[li, rows, cache_pos].set(
+                k[:, 0].astype(ck_all.dtype))
+            cv_all = cv_all.at[li, rows, cache_pos].set(
+                v[:, 0].astype(cv_all.dtype))
         else:
             # write current k/v into the static cache at cache_pos
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                              (0, cache_pos, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                              (0, cache_pos, 0, 0))
+            ck_all = jax.lax.dynamic_update_slice(
+                ck_all, k[None].astype(ck_all.dtype),
+                (li, 0, cache_pos, 0, 0))
+            cv_all = jax.lax.dynamic_update_slice(
+                cv_all, v[None].astype(cv_all.dtype),
+                (li, 0, cache_pos, 0, 0))
+        ck = jax.lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False)
         k_full, v_full = ck.astype(compute), cv.astype(compute)
-        new_kv = (ck, cv)
+        new_kv = (ck_all, cv_all)
     else:
         k_full, v_full = k, v
         new_kv = (k, v)
@@ -286,14 +298,17 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
         layer_fn = jax.checkpoint(layer_fn, policy=policy)
 
     def scan_body(h, xs):
-        if kv_cache is not None:
-            lp, (ck, cv) = xs
-            h, (nk, nv) = layer_fn(lp, h, mask, cos, sin, (ck, cv),
-                                   cache_pos, None)
-            return h, (nk, nv)
         lp = xs
         h, _ = layer_fn(lp, h, mask, cos, sin, None, None, flash_bias)
         return h, None
+
+    def scan_body_cached(carry, xs):
+        h, ck_all, cv_all = carry
+        lp, li = xs
+        h, (ck_all, cv_all) = layer_fn(lp, h, mask, cos, sin,
+                                       (ck_all, cv_all, li),
+                                       cache_pos, None)
+        return (h, ck_all, cv_all), None
 
     h = inputs_embeds
     if shard_sequence and kv_cache is None:
@@ -305,9 +320,10 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
         h = jax.lax.with_sharding_constraint(
             h, P(("dcn", "data", "fsdp"), "tensor", None))
     if kv_cache is not None:
-        h, (nk, nv) = jax.lax.scan(scan_body, h,
-                                   (params["layers"], (kv_cache.k,
-                                                       kv_cache.v)))
+        n_layers = kv_cache.k.shape[0]
+        (h, nk, nv), _ = jax.lax.scan(
+            scan_body_cached, (h, kv_cache.k, kv_cache.v),
+            (params["layers"], jnp.arange(n_layers)))
         new_cache = KVCache(k=nk, v=nv, length=cache_pos + s)
     else:
         h, _ = jax.lax.scan(scan_body, h, params["layers"])
