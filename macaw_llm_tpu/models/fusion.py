@@ -525,17 +525,35 @@ def _forward_ring(params: dict, cfg: ModelConfig, batch: FusedBatch,
         perm = zigzag_indices(s, n_dev)
         embeds = embeds[:, perm]
         positions = jnp.broadcast_to(perm[None].astype(jnp.int32), (b, s))
-    logits, _ = llama.forward(
-        params["llm"], cfg.llm, inputs_embeds=embeds,
-        positions=positions, remat=(cfg.remat_policy if cfg.remat else False), lora_scale=lora_scale,
-        ring_mesh=ring_mesh, ring_axis=cfg.ring_axis,
-        ring_layout=cfg.ring_layout, dtype=embeds.dtype)
-    loss = None
+    targets = None
     if batch.labels is not None:
         ext = batch.labels
         targets = jnp.concatenate(
             [ext[:, 1:], jnp.full((b, 1), IGNORE_ID, ext.dtype)], axis=1)
         if perm is not None:
             targets = targets[:, perm]
+
+    if cfg.loss_chunk > 0 and targets is not None:
+        # long-context memory path: chunked CE on the aligned permuted
+        # targets, no [B, S, V] logits (at 8k+ context the full fp32
+        # logits alone are multiple GB)
+        h, _ = llama.forward_hidden(
+            params["llm"], cfg.llm, embeds, positions=positions,
+            remat=(cfg.remat_policy if cfg.remat else False),
+            lora_scale=lora_scale, ring_mesh=ring_mesh,
+            ring_axis=cfg.ring_axis, ring_layout=cfg.ring_layout)
+        loss = llama.clm_loss_chunked(params["llm"], h, targets,
+                                      chunk=cfg.loss_chunk,
+                                      targets_aligned=True)
+        return loss, None
+
+    logits, _ = llama.forward(
+        params["llm"], cfg.llm, inputs_embeds=embeds,
+        positions=positions, lora_scale=lora_scale,
+        remat=(cfg.remat_policy if cfg.remat else False),
+        ring_mesh=ring_mesh, ring_axis=cfg.ring_axis,
+        ring_layout=cfg.ring_layout, dtype=embeds.dtype)
+    loss = None
+    if targets is not None:
         loss = llama.clm_loss_aligned(logits, targets)
     return loss, logits

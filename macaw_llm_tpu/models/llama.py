@@ -383,7 +383,8 @@ def clm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 
 def clm_loss_chunked(params: dict, h: jnp.ndarray, labels: jnp.ndarray,
-                     chunk: int = 1024) -> jnp.ndarray:
+                     chunk: int = 1024,
+                     targets_aligned: bool = False) -> jnp.ndarray:
     """Shifted CE straight from final hidden states without ever
     materializing the [B, S, V] logits.
 
@@ -396,8 +397,14 @@ def clm_loss_chunked(params: dict, h: jnp.ndarray, labels: jnp.ndarray,
     ``clm_loss(logits_from_hidden(params, h), labels)``.
     """
     b, s, _ = h.shape
-    targets = jnp.concatenate(
-        [labels[:, 1:], jnp.full((b, 1), IGNORE_ID, labels.dtype)], axis=1)
+    if targets_aligned:
+        # labels are already position-aligned next-token targets (the
+        # ring path pre-shifts and permutes; see clm_loss_aligned)
+        targets = labels
+    else:
+        targets = jnp.concatenate(
+            [labels[:, 1:], jnp.full((b, 1), IGNORE_ID, labels.dtype)],
+            axis=1)
     pad = (-s) % chunk
     if pad:
         h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
