@@ -34,9 +34,12 @@ def main():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--seq", type=int, default=256)
     p.add_argument("--mode", default="prefill",
-                   choices=["prefill", "decode", "train"],
+                   choices=["prefill", "decode", "train", "serve"],
                    help="prefill: fused multimodal prefill throughput; "
                         "decode: greedy generation tokens/sec; "
+                        "serve: continuous-batching ENGINE throughput "
+                        "(drives ContinuousEngine end-to-end: admission "
+                        "prefills + donated-cache decode steps); "
                         "train: optimizer steps/sec (full fine-tune on 1b, "
                         "LoRA on 7b — an AdamW full-FT of the 7b profile "
                         "needs >19 GB of optimizer state and does not fit "
@@ -55,6 +58,11 @@ def main():
                         "outputs, recomputing only elementwise ops")
     p.add_argument("--quantize", default=None, choices=[None, "int8"],
                    help="weight-only quantization for the decode path")
+    p.add_argument("--kv-quant", default=None, choices=[None, "int8"],
+                   help="int8-quantized KV cache (decode/serve modes): "
+                        "half the decode attention HBM read")
+    p.add_argument("--slots", type=int, default=0,
+                   help="serve mode: engine slots (default: --batch)")
     p.add_argument("--align-cache", default="int8",
                    choices=["int8", "bf16", "off"],
                    help="precomputed alignment K/V projections: int8 "
@@ -78,6 +86,8 @@ def main():
 
     if args.mode == "train":
         return bench_train(args, cfg, dev)
+    if args.mode == "serve":
+        return bench_serve(args, cfg, dev)
 
     # init params directly on device in bf16 (bench is inference-style).
     # ONE fused jit builds params + align cache (+ int8 decode weights):
@@ -101,6 +111,8 @@ def main():
         if args.mode == "decode":
             from macaw_llm_tpu.utils.quantize import pack_llama_for_decode
             p["llm"] = pack_llama_for_decode(p["llm"])
+        # packed tower qkv: one [h, 3h] in-proj stream per encoder layer
+        p = fusion.pack_towers(p)
         return p, cache
 
     params, align_cache = jax.jit(_init)(jax.random.PRNGKey(0))
@@ -149,6 +161,7 @@ def main():
                            inputs_embeds=fused.inputs_embeds,
                            attention_mask=fused.attention_mask,
                            max_new_tokens=args.max_new_tokens,
+                           cache_dtype=args.kv_quant,
                            eos_id=-1)  # no early stop: measure full budget
             return int(np.asarray(out.tokens)[0, -1])  # forces readback
 
@@ -165,6 +178,7 @@ def main():
             "metric": "greedy decode tokens/sec/chip "
                       f"(profile={args.profile}, batch={b}, "
                       f"quant={args.quantize or 'bf16'}, "
+                      f"kv={args.kv_quant or 'bf16'}, "
                       f"prefix={s + cfg.total_prefix_len}, "
                       f"new={args.max_new_tokens}, "
                       f"device={dev.device_kind})",
@@ -240,6 +254,122 @@ def main():
         "unit": "examples/sec/chip",
         "vs_baseline": round(examples_per_sec_per_chip / baseline_per_chip,
                              3),
+    }
+    print(json.dumps(result))
+    return result
+
+
+def bench_serve(args, cfg, dev):
+    """Served decode throughput through the ContinuousEngine — the ENGINE
+    path (admission-thread prefills + donated-cache decode steps), not the
+    one-shot ``generate`` path the decode mode measures. Reports:
+      * end-to-end served tokens/sec (includes prefill overlap/ramp)
+      * steady-state decode tokens/sec while every slot is busy — the
+        number comparable to ``--mode decode`` (VERDICT r2 #1: within 10%)
+    """
+    import dataclasses
+    import threading
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp  # noqa: F401  (engine uses device arrays)
+    import numpy as np
+    from macaw_llm_tpu.config import Config, MeshConfig
+    from macaw_llm_tpu.models import fusion
+    from macaw_llm_tpu.serve import ContinuousEngine, Request
+
+    cfg = dataclasses.replace(cfg, dtype="bfloat16")
+    slots = args.slots or args.batch
+
+    def _init(key):
+        p = fusion.init_params(key, cfg, param_dtype=jnp.bfloat16)
+        if args.quantize == "int8":
+            from macaw_llm_tpu.utils.quantize import quantize_llama
+            p["llm"] = quantize_llama(p["llm"])
+        from macaw_llm_tpu.utils.quantize import pack_llama_for_decode
+        p["llm"] = pack_llama_for_decode(p["llm"])
+        return p
+
+    params = jax.jit(_init)(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    class BenchTok:
+        def encode(self, text):
+            h = abs(hash(text))
+            return [1] + [16 + (h + 37 * i) % 31000 for i in range(40)]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(i) for i in ids)
+
+    engine = ContinuousEngine(
+        params, Config(model=cfg, mesh=MeshConfig(1, 1, 1, 1)), BenchTok(),
+        slots=slots, prompt_bucket=64, max_new_tokens=args.max_new_tokens,
+        align_cache=args.align_cache, kv_cache_dtype=args.kv_quant)
+    engine.start()
+    try:
+        # warmup: compiles prefill + admit + step
+        engine.generate_sync(Request(prompt="warmup request",
+                                     max_new_tokens=4), timeout=1200)
+
+        n_req = slots * 4
+        results = [None] * n_req
+        samples = []  # (t, decode_steps, done_requests)
+        stop_poll = threading.Event()
+
+        def poll():
+            while not stop_poll.is_set():
+                samples.append((_time.perf_counter(),
+                                engine.stats["steps"],
+                                engine.stats["requests"]))
+                _time.sleep(0.02)
+
+        def worker(i):
+            results[i] = engine.generate_sync(
+                Request(prompt=f"bench request number {i}",
+                        max_new_tokens=args.max_new_tokens), timeout=1200)
+
+        poller = threading.Thread(target=poll, daemon=True)
+        t0 = _time.perf_counter()
+        poller.start()
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(n_req)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(1200)
+        elapsed = _time.perf_counter() - t0
+        stop_poll.set()
+        poller.join(5)
+
+        assert all(r is not None and "text" in r for r in results), \
+            [r for r in results if r is None or "text" not in r][:3]
+        total_tokens = sum(r["tokens"] for r in results)
+        served_tps = total_tokens / elapsed
+
+        # steady state: the window where all slots were provably busy —
+        # admissions done for > slots requests and > slots still pending
+        base = engine.stats["requests"] - n_req  # warmup offset
+        window = [(t, s) for (t, s, done) in samples
+                  if done - base >= slots and done - base <= n_req - slots]
+        steady_tps = 0.0
+        if len(window) >= 2 and window[-1][0] > window[0][0]:
+            dt = window[-1][0] - window[0][0]
+            dsteps = window[-1][1] - window[0][1]
+            steady_tps = dsteps * slots / dt
+    finally:
+        engine.stop()
+
+    result = {
+        "metric": "served decode tokens/sec/chip (continuous engine, "
+                  f"profile={args.profile}, slots={slots}, "
+                  f"quant={args.quantize or 'bf16'}, "
+                  f"kv={args.kv_quant or 'bf16'}, "
+                  f"requests={slots * 4}, new={args.max_new_tokens}, "
+                  f"end_to_end_tps={served_tps:.0f}, "
+                  f"device={dev.device_kind})",
+        "value": round(steady_tps or served_tps, 1),
+        "unit": "tokens/sec/chip",
+        "vs_baseline": 0.0,
     }
     print(json.dumps(result))
     return result

@@ -55,6 +55,14 @@ class LlamaConfig:
     """
 
     vocab_size: int = 32007
+    # TPU-first vocab padding (VERDICT r2 #9): 32007 = 7x17x269 divides NO
+    # mesh size, so embed_tokens/lm_head could never shard on `tensor`
+    # (the partition rule silently fell back to replication — dead for
+    # the two largest matrices). vocab_pad_to=32128 (= 251 x 128) pads
+    # the embedding/lm_head rows with zeros and masks the padded logits
+    # to -inf everywhere (loss, argmax, sampling); ids stay < vocab_size.
+    # None keeps the exact reference shapes.
+    vocab_pad_to: Optional[int] = None
     hidden_size: int = 4096
     intermediate_size: int = 11008
     num_layers: int = 32
@@ -77,10 +85,18 @@ class LlamaConfig:
     def kv_heads(self) -> int:
         return self.num_kv_heads or self.num_heads
 
+    @property
+    def padded_vocab(self) -> int:
+        """Storage vocab width (embed_tokens rows / lm_head cols)."""
+        return self.vocab_pad_to or self.vocab_size
+
     def validate(self) -> None:
         assert self.hidden_size % self.num_heads == 0, (
             f"hidden_size {self.hidden_size} not divisible by num_heads "
             f"{self.num_heads}")
+        assert self.vocab_pad_to is None \
+            or self.vocab_pad_to >= self.vocab_size, (
+            f"vocab_pad_to {self.vocab_pad_to} < vocab {self.vocab_size}")
 
 
 @dataclass(frozen=True)
@@ -303,10 +319,14 @@ class TrainConfig:
     frozen_dtype: str = "bfloat16"
     # LoRA-only: precompute the alignment K/V projections of the frozen
     # vocab memory once instead of per-step (saves ~1.75 GB of temps and
-    # 6.4 TFLOP/step at 7b). "int8" halves the cache HBM (0.79 GB vs
+    # 6.4 TFLOP/step at 7b). NOTE the cache FREEZES the align in-proj K/V
+    # rows and bias_k/bias_v (zero grads by construction — the cache is a
+    # constant to autodiff and therefore never stale); the align Q rows
+    # and out-proj still train. "int8" halves the cache HBM (0.79 GB vs
     # 1.57 GB at 7b, ~0.2% relative error on cached rows — what makes 7b
     # LoRA fit one v5e); "bf16" is bit-exact vs the in-graph projection;
-    # "off" keeps the reference-style per-step projection.
+    # "off" trains the full alignment attention (reference-style per-step
+    # projection).
     align_cache: str = "int8"
     # LoRA-only: store the frozen LLM base int8 (QLoRA-style; the
     # reference scaffolds bitsandbytes load_in_8bit at run_clm_llms.py:489

@@ -221,7 +221,15 @@ class BatchLoader:
                 thread_name_prefix="macaw-batch")
         return self._decode_pool, self._batch_pool
 
-    def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+    def epoch(self, epoch: int,
+              skip: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield this epoch's batches, starting at batch index ``skip``.
+
+        ``skip`` is how resume fast-forwards: skipped batches are never
+        assembled (no JPEG/WAV decode, no array work) — replaying a
+        1000-step prefix costs index arithmetic, not media decode
+        (VERDICT r2 #10). The shuffled order is deterministic per epoch,
+        so skipping preserves the exact resume position."""
         rng = np.random.RandomState(self.seed + epoch)
         perm = rng.permutation(len(self.ds))
         # contiguous per-process shard of the shuffled order
@@ -237,7 +245,7 @@ class BatchLoader:
 
         # in-order sliding window of `prefetch` in-flight batch futures
         pending = deque()
-        next_step = 0
+        next_step = min(max(skip, 0), self.steps_per_epoch)
         try:
             while next_step < self.steps_per_epoch or pending:
                 while (len(pending) < self.prefetch

@@ -44,7 +44,8 @@ def batch_inference_generation(
         batch_size: int = 8, max_new_tokens: Optional[int] = None,
         num_beams: int = 1,
         out_path: Optional[str] = None,
-        boundary_ids: Optional[dict] = None) -> List[dict]:
+        boundary_ids: Optional[dict] = None,
+        align_cache: Optional[dict] = None) -> List[dict]:
     """Batched generation over val rows
     (reference batch_inference_generation, llm_trainer.py:507-607).
 
@@ -101,7 +102,8 @@ def batch_inference_generation(
             audios=jnp.asarray(audios),
             videos=jnp.asarray(videos),
             attention_mask=jnp.asarray(mask),
-            boundary_ids=boundary_ids)
+            boundary_ids=boundary_ids,
+            align_cache=align_cache)
         if num_beams > 1:
             out = beam_search(params["llm"], mcfg.llm,
                               inputs_embeds=batch.inputs_embeds,

@@ -52,7 +52,7 @@ def _sample(logits: jnp.ndarray, rng: Optional[jax.Array],
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "eos_id",
-                                   "pad_id", "top_k"))
+                                   "pad_id", "top_k", "cache_dtype"))
 def generate(params: dict, cfg: LlamaConfig, *,
              inputs_embeds: jnp.ndarray,
              attention_mask: Optional[jnp.ndarray] = None,
@@ -62,7 +62,8 @@ def generate(params: dict, cfg: LlamaConfig, *,
              temperature=0.0,
              top_k: int = 0,
              rng: Optional[jax.Array] = None,
-             budgets: Optional[jnp.ndarray] = None) -> GenerateResult:
+             budgets: Optional[jnp.ndarray] = None,
+             cache_dtype: Optional[str] = None) -> GenerateResult:
     """Generate from fused embeddings. inputs_embeds [B, S, H].
 
     ``budgets`` is an optional per-row [B] int32 cap on generated tokens
@@ -70,7 +71,9 @@ def generate(params: dict, cfg: LlamaConfig, *,
     and emits PAD afterwards, and the decode loop exits as soon as every
     row is finished — batching a short request with long ones never
     spends decode steps past the longest *requested* budget.
-    ``temperature`` may be per-row (see _sample)."""
+    ``temperature`` may be per-row (see _sample).
+    ``cache_dtype="int8"`` stores the KV cache quantized (half the HBM
+    and half the decode attention read; see llama.KVCache)."""
     b, s, _ = inputs_embeds.shape
     total = s + max_new_tokens
     dtype = inputs_embeds.dtype
@@ -87,19 +90,24 @@ def generate(params: dict, cfg: LlamaConfig, *,
         jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1, 0)
     prompt_len = attention_mask.astype(jnp.int32).sum(axis=1)  # [B]
 
-    cache = llama.KVCache.create(cfg, b, total, dtype)
-    logits, cache = llama.forward(
-        params, cfg, inputs_embeds=inputs_embeds,
-        attention_mask=full_mask, positions=prompt_pos, kv_cache=cache,
-        dtype=dtype)
+    cache = llama.KVCache.create(
+        cfg, b, total, dtype if cache_dtype is None else cache_dtype)
+    # prefill produces HIDDEN states only; logits are projected for the
+    # single sampled position per row — the full [B, S, 32k] fp32 prefill
+    # logits (1.3 GB at 7b batch 32) never exist, which is what lets
+    # batch 32 decode fit one chip alongside the prefill peak.
+    h, cache = llama.forward_hidden(
+        params, cfg, inputs_embeds,
+        attention_mask=full_mask, positions=prompt_pos, kv_cache=cache)
     # sample at the LAST VALID prompt position per row — for right-padded
     # prompts logits[:, -1] sits on a PAD slot (HF/the reference sample
     # there anyway; this is a deliberate fix). Left-padded and unpadded
     # prompts are unchanged (last valid == last position).
     last_valid = jnp.max(attention_mask.astype(jnp.int32)
                          * jnp.arange(s)[None, :], axis=1)      # [B]
-    first_logits = jnp.take_along_axis(
-        logits, last_valid[:, None, None], axis=1)[:, 0]
+    h_last = jnp.take_along_axis(h, last_valid[:, None, None], axis=1)
+    first_logits = llama.logits_from_hidden(
+        params, h_last, llama.valid_vocab(cfg))[:, 0]
     next_tok = _sample(first_logits, rng, temperature, top_k)
 
     class State(NamedTuple):

@@ -253,9 +253,9 @@ def precompute_align_cache(params: dict, cfg: ModelConfig,
     projections depend ONLY on the weights — at 7b that is 6 x
     [32009, 4096] matmuls (~6.4 TFLOP) recomputed every step for nothing.
     Inference paths compute this once per weight set and pass it to
-    ``prepare_inputs(align_cache=...)``. Gradients must flow through the
-    projections in training, so the cache is ignored when a dropout_rng is
-    given.
+    ``prepare_inputs(align_cache=...)``. Training with a cache freezes
+    the align K/V weights (see prepare_inputs) — pass align_cache=None
+    to train the full alignment attention.
 
     quantize: store the cached rows int8 with per-row fp32 scales (half the
     HBM of bf16 — 0.79 GB instead of 1.57 GB at 7b — at ~0.2% relative
@@ -288,6 +288,23 @@ def _dequant_rows(entry, dtype):
     if scale is None:
         return q.astype(dtype)
     return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+def pack_towers(params: dict) -> dict:
+    """Inference layout for the encoder towers: pack each CLIP/Whisper
+    attention layer's q/k/v projections into one [h, 3h] in-proj stream
+    (see ops.attention.pack_mha — the encoder-side counterpart of
+    ``pack_llama_for_decode``). Exact same math, split after the dot.
+    Inference-only: training and weight import use the unpacked names."""
+    from macaw_llm_tpu.ops.attention import pack_mha
+    out = dict(params)
+    for tower in ("image_encoder", "video_encoder", "audio_encoder"):
+        t = dict(out[tower])
+        layers = dict(t["layers"])
+        layers["attn"] = pack_mha(layers["attn"])
+        t["layers"] = layers
+        out[tower] = t
+    return out
 
 
 def strip_align_kv(params: dict) -> dict:
@@ -368,10 +385,13 @@ def prepare_inputs(params: dict, cfg: ModelConfig, *,
     drop = cfg.fusion.align_dropout if dropout_rng is not None else 0.0
     rngs = (jax.random.split(dropout_rng, 4) if dropout_rng is not None
             else [None] * 4)
-    # the cache is valid in training too, but ONLY when the align K/V
-    # weights and embed_tokens are frozen (LoRA): autodiff treats cached
-    # K/V as constants, so any gradient to them would be silently dropped.
-    # The Trainer enforces that contract; inference always may.
+    # training with a cache FREEZES the align K/V projections: autodiff
+    # treats the cached K/V as constants, so the in-proj K/V rows and
+    # bias_k/bias_v get zero gradients and never move — which also keeps
+    # the cache from going stale. Q rows / out-proj still train through
+    # the query path. The Trainer documents and tests this contract
+    # (test_align_cache.py::test_cache_freezes_align_kv); inference
+    # always may use the cache.
     cache = align_cache
     _c = (lambda mod: cache.get(mod)) if cache is not None else (lambda mod: None)
 
@@ -487,7 +507,8 @@ def forward(params: dict, cfg: ModelConfig, *,
             use_flash=cfg.use_flash, lora_scale=lora_scale,
             shard_sequence=cfg.shard_sequence)
         loss = llama.clm_loss_chunked(params["llm"], h, batch.labels,
-                                      chunk=cfg.loss_chunk)
+                                      chunk=cfg.loss_chunk,
+                                      valid=llama.valid_vocab(cfg.llm))
         return loss, None
 
     logits, _ = llama.forward(
@@ -544,7 +565,8 @@ def _forward_ring(params: dict, cfg: ModelConfig, batch: FusedBatch,
             ring_axis=cfg.ring_axis, ring_layout=cfg.ring_layout)
         loss = llama.clm_loss_chunked(params["llm"], h, targets,
                                       chunk=cfg.loss_chunk,
-                                      targets_aligned=True)
+                                      targets_aligned=True,
+                                      valid=llama.valid_vocab(cfg.llm))
         return loss, None
 
     logits, _ = llama.forward(

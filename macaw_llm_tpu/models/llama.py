@@ -33,18 +33,46 @@ from macaw_llm_tpu.ops import (apply_rope, causal_mask, combine_masks,
 
 
 class KVCache(NamedTuple):
-    """Static-shape per-layer KV cache. k/v: [L, B, S_max, N_kv, D]."""
+    """Static-shape per-layer KV cache. k/v: [L, B, S_max, N_kv, D].
+
+    dtype=int8 stores the cache quantized (symmetric per-position-per-head
+    scales in ``k_scale``/``v_scale`` [L, B, S_max, N_kv] fp32) — half the
+    HBM traffic of the decode attention read, which is what decode is
+    bound by. The scales are applied OUTSIDE the attention dots (to the
+    logits for K, to the probs for V — exact, since each scale is constant
+    along the contracted D axis), so the matmuls stream raw int8 operands
+    converted on the fly, the same trick as the int8 weight path
+    (utils/quantize.matmul)."""
 
     k: jnp.ndarray
     v: jnp.ndarray
     length: jnp.ndarray  # scalar int32: number of valid positions
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
 
     @classmethod
     def create(cls, cfg: LlamaConfig, batch: int, max_len: int,
                dtype=jnp.bfloat16) -> "KVCache":
         shape = (cfg.num_layers, batch, max_len, cfg.kv_heads, cfg.head_dim)
+        dtype = jnp.dtype(dtype)
+        if dtype == jnp.int8:
+            return cls(k=jnp.zeros(shape, jnp.int8),
+                       v=jnp.zeros(shape, jnp.int8),
+                       length=jnp.zeros((), jnp.int32),
+                       k_scale=jnp.zeros(shape[:-1], jnp.float32),
+                       v_scale=jnp.zeros(shape[:-1], jnp.float32))
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                    length=jnp.zeros((), jnp.int32))
+
+
+def _quant_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., D] -> (int8 [..., D], fp32 scale [...]): symmetric per-vector
+    int8 over the head dim (the contracted axis of both attention dots)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = amax / 127.0
+    q = jnp.round(xf / jnp.maximum(scale, 1e-20)[..., None])
+    return jnp.clip(q, -127, 127).astype(jnp.int8), scale
 
 
 # ---------------------------------------------------------------------------
@@ -55,7 +83,7 @@ def init_params(rng: jax.Array, cfg: LlamaConfig,
                 param_dtype=jnp.float32) -> dict:
     """Random init matching reference scheme (normal(initializer_range),
     modeling.py:325-335)."""
-    h, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    h, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.padded_vocab
     nkv = cfg.kv_heads * cfg.head_dim
     keys = jax.random.split(rng, 16)
     init = jax.nn.initializers.normal(cfg.initializer_range)
@@ -133,34 +161,55 @@ def _attention(cfg: LlamaConfig, p: dict, h: jnp.ndarray,
     v = v2.reshape(b, s, nkv, d)
     q, k = apply_rope(q, k, cos, sin)
 
+    quant_cache = False
     if kv is not None:
-        # kv = (ck_all [L, B, S, N, D], cv_all, layer_idx): the STACKED
-        # cache is threaded through the layer scan as carry and only the
-        # current token positions are written — a single-position
+        # kv = (ck_all [L, B, S, N, D], cv_all, ks_all, vs_all, layer_idx):
+        # the STACKED cache is threaded through the layer scan as carry and
+        # only the current token positions are written — a single-position
         # dynamic-update-slice XLA performs in place. (The previous
         # xs->ys layout forced a full fresh cache write every decode
         # step: ~3.2 GB/step at 7b b16, ~25 ms of pure copy.)
-        ck_all, cv_all, li = kv
+        # ks_all/vs_all are the int8-cache scales (None for bf16 cache).
+        ck_all, cv_all, ks_all, vs_all, li = kv
+        quant_cache = ks_all is not None
+        if quant_cache:
+            kw, ks = _quant_kv(k)
+            vw, vs = _quant_kv(v)
+        else:
+            kw, vw = k.astype(ck_all.dtype), v.astype(cv_all.dtype)
         if cache_pos.ndim == 1:
             # per-row write positions (continuous batching: every slot has
             # its own sequence length); decode steps only (s == 1)
             rows = jnp.arange(b)
-            ck_all = ck_all.at[li, rows, cache_pos].set(
-                k[:, 0].astype(ck_all.dtype))
-            cv_all = cv_all.at[li, rows, cache_pos].set(
-                v[:, 0].astype(cv_all.dtype))
+            ck_all = ck_all.at[li, rows, cache_pos].set(kw[:, 0])
+            cv_all = cv_all.at[li, rows, cache_pos].set(vw[:, 0])
+            if quant_cache:
+                ks_all = ks_all.at[li, rows, cache_pos].set(ks[:, 0])
+                vs_all = vs_all.at[li, rows, cache_pos].set(vs[:, 0])
         else:
             # write current k/v into the static cache at cache_pos
             ck_all = jax.lax.dynamic_update_slice(
-                ck_all, k[None].astype(ck_all.dtype),
-                (li, 0, cache_pos, 0, 0))
+                ck_all, kw[None], (li, 0, cache_pos, 0, 0))
             cv_all = jax.lax.dynamic_update_slice(
-                cv_all, v[None].astype(cv_all.dtype),
-                (li, 0, cache_pos, 0, 0))
+                cv_all, vw[None], (li, 0, cache_pos, 0, 0))
+            if quant_cache:
+                ks_all = jax.lax.dynamic_update_slice(
+                    ks_all, ks[None], (li, 0, cache_pos, 0))
+                vs_all = jax.lax.dynamic_update_slice(
+                    vs_all, vs[None], (li, 0, cache_pos, 0))
         ck = jax.lax.dynamic_index_in_dim(ck_all, li, 0, keepdims=False)
         cv = jax.lax.dynamic_index_in_dim(cv_all, li, 0, keepdims=False)
-        k_full, v_full = ck.astype(compute), cv.astype(compute)
-        new_kv = (ck_all, cv_all)
+        if quant_cache:
+            # int8 operands convert on the MXU read; scales applied to
+            # logits/probs inside dot_product_attention_quant
+            k_full, v_full = ck.astype(compute), cv.astype(compute)
+            k_sc = jax.lax.dynamic_index_in_dim(ks_all, li, 0,
+                                                keepdims=False)
+            v_sc = jax.lax.dynamic_index_in_dim(vs_all, li, 0,
+                                                keepdims=False)
+        else:
+            k_full, v_full = ck.astype(compute), cv.astype(compute)
+        new_kv = (ck_all, cv_all, ks_all, vs_all)
     else:
         k_full, v_full = k, v
         new_kv = (k, v)
@@ -169,6 +218,9 @@ def _attention(cfg: LlamaConfig, p: dict, h: jnp.ndarray,
         rep = n // nkv
         k_full = jnp.repeat(k_full, rep, axis=2)
         v_full = jnp.repeat(v_full, rep, axis=2)
+        if quant_cache:
+            k_sc = jnp.repeat(k_sc, rep, axis=2)
+            v_sc = jnp.repeat(v_sc, rep, axis=2)
 
     if ring_mesh is not None and kv is None:
         # sequence sharded across chips: ring attention (no padding bias —
@@ -179,6 +231,10 @@ def _attention(cfg: LlamaConfig, p: dict, h: jnp.ndarray,
     elif use_flash and kv is None:
         from macaw_llm_tpu.ops.pallas.flash_attention import flash_attention
         out = flash_attention(q, k_full, v_full, flash_bias, causal=True)
+    elif quant_cache:
+        from macaw_llm_tpu.ops.attention import dot_product_attention_quant
+        out = dot_product_attention_quant(q, k_full, v_full, k_sc, v_sc,
+                                          mask)
     else:
         out = dot_product_attention(q, k_full, v_full, mask)
     out = out.reshape(b, s, n * d)
@@ -303,12 +359,12 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
         return h, None
 
     def scan_body_cached(carry, xs):
-        h, ck_all, cv_all = carry
+        h, ck_all, cv_all, ks_all, vs_all = carry
         lp, li = xs
-        h, (ck_all, cv_all) = layer_fn(lp, h, mask, cos, sin,
-                                       (ck_all, cv_all, li),
-                                       cache_pos, None)
-        return (h, ck_all, cv_all), None
+        h, (ck_all, cv_all, ks_all, vs_all) = layer_fn(
+            lp, h, mask, cos, sin, (ck_all, cv_all, ks_all, vs_all, li),
+            cache_pos, None)
+        return (h, ck_all, cv_all, ks_all, vs_all), None
 
     h = inputs_embeds
     if shard_sequence and kv_cache is None:
@@ -321,10 +377,13 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
             h, P(("dcn", "data", "fsdp"), "tensor", None))
     if kv_cache is not None:
         n_layers = kv_cache.k.shape[0]
-        (h, nk, nv), _ = jax.lax.scan(
-            scan_body_cached, (h, kv_cache.k, kv_cache.v),
+        (h, nk, nv, nks, nvs), _ = jax.lax.scan(
+            scan_body_cached,
+            (h, kv_cache.k, kv_cache.v, kv_cache.k_scale,
+             kv_cache.v_scale),
             (params["layers"], jnp.arange(n_layers)))
-        new_cache = KVCache(k=nk, v=nv, length=cache_pos + s)
+        new_cache = KVCache(k=nk, v=nv, length=cache_pos + s,
+                            k_scale=nks, v_scale=nvs)
     else:
         h, _ = jax.lax.scan(scan_body, h, params["layers"])
         new_cache = None
@@ -333,9 +392,29 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
     return h, new_cache
 
 
-def logits_from_hidden(params: dict, h: jnp.ndarray) -> jnp.ndarray:
-    """CLM head (no bias, reference modeling.py:530). fp32 logits."""
-    return qz.matmul(h, params["lm_head"], h.dtype).astype(jnp.float32)
+def logits_from_hidden(params: dict, h: jnp.ndarray,
+                       valid: Optional[int] = None) -> jnp.ndarray:
+    """CLM head (no bias, reference modeling.py:530). fp32 logits.
+
+    ``valid``: with a padded vocab (cfg.vocab_pad_to), the number of REAL
+    vocab entries — padded columns are masked to -inf so loss, argmax and
+    sampling can never select them."""
+    logits = qz.matmul(h, params["lm_head"], h.dtype).astype(jnp.float32)
+    return _mask_padded_vocab(logits, valid)
+
+
+def _mask_padded_vocab(logits: jnp.ndarray,
+                       valid: Optional[int]) -> jnp.ndarray:
+    if valid is None or valid >= logits.shape[-1]:
+        return logits
+    cols = jnp.arange(logits.shape[-1])
+    return jnp.where(cols < valid, logits, jnp.finfo(jnp.float32).min)
+
+
+def valid_vocab(cfg: LlamaConfig) -> Optional[int]:
+    """The ``valid`` argument for logits masking: the real vocab size when
+    the storage vocab is padded, else None (no masking work)."""
+    return cfg.vocab_size if cfg.padded_vocab > cfg.vocab_size else None
 
 
 def forward(params: dict, cfg: LlamaConfig,
@@ -364,7 +443,7 @@ def forward(params: dict, cfg: LlamaConfig,
                                   positions, kv_cache, remat, use_flash,
                                   lora_scale, shard_sequence,
                                   ring_mesh, ring_axis, ring_layout)
-    return logits_from_hidden(params, h), new_cache
+    return logits_from_hidden(params, h, valid_vocab(cfg)), new_cache
 
 
 def clm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
@@ -384,7 +463,8 @@ def clm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 def clm_loss_chunked(params: dict, h: jnp.ndarray, labels: jnp.ndarray,
                      chunk: int = 1024,
-                     targets_aligned: bool = False) -> jnp.ndarray:
+                     targets_aligned: bool = False,
+                     valid: Optional[int] = None) -> jnp.ndarray:
     """Shifted CE straight from final hidden states without ever
     materializing the [B, S, V] logits.
 
@@ -418,11 +498,12 @@ def clm_loss_chunked(params: dict, h: jnp.ndarray, labels: jnp.ndarray,
     @jax.checkpoint
     def chunk_nll(h_c, t_c):
         logits = qz.matmul(h_c, w, h_c.dtype).astype(jnp.float32)
-        valid = t_c != IGNORE_ID
-        safe = jnp.where(valid, t_c, 0)
+        logits = _mask_padded_vocab(logits, valid)
+        ok = t_c != IGNORE_ID
+        safe = jnp.where(ok, t_c, 0)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-        return jnp.where(valid, nll, 0.0).sum(), valid.sum()
+        return jnp.where(ok, nll, 0.0).sum(), ok.sum()
 
     def body(carry, xs):
         nll, cnt = chunk_nll(*xs)

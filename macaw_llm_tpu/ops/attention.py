@@ -44,6 +44,37 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jnp.einsum("bnqk,bknd->bqnd", probs, v)
 
 
+def dot_product_attention_quant(q: jnp.ndarray, k_q: jnp.ndarray,
+                                v_q: jnp.ndarray, k_s: jnp.ndarray,
+                                v_s: jnp.ndarray,
+                                mask: Optional[jnp.ndarray] = None,
+                                scale: Optional[float] = None
+                                ) -> jnp.ndarray:
+    """Attention over an int8-quantized K/V cache (decode path).
+
+    q: [B, Sq, N, D] float; k_q/v_q: [B, Sk, N, D] — int8 values already
+    converted to the compute dtype (integers <= 127 are exact in bf16, and
+    XLA fuses the convert into the dot's HBM read, so the cache streams
+    1 byte/element); k_s/v_s: [B, Sk, N] fp32 per-position-per-head
+    scales. The scales are constant along the contracted D axis, so they
+    commute with both dots exactly: K's scale multiplies the logits, V's
+    scale folds into the probs — the same after-the-dot trick as the int8
+    weight path (utils/quantize.matmul).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqnd,bknd->bnqk", q, k_q.astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits * jnp.transpose(k_s, (0, 2, 1))[:, :, None, :]
+    if mask is not None:
+        logits = logits + mask
+        logits = jnp.maximum(logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = (probs * jnp.transpose(v_s, (0, 2, 1))[:, :, None, :]
+             ).astype(q.dtype)
+    return jnp.einsum("bnqk,bknd->bqnd", probs, v_q.astype(q.dtype))
+
+
 def flash_sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                scale: Optional[float] = None,
                block_q: int = 512, block_k: int = 1024) -> jnp.ndarray:
@@ -100,6 +131,24 @@ def mha_init(rng, embed_dim: int, num_heads: int, *, bias: bool = True,
     return params
 
 
+def pack_mha(params: dict) -> dict:
+    """Inference layout: concatenate the q/k/v projection weights into ONE
+    [E, 3E] in-proj stream (stacked [L, E, 3E] for layer stacks).
+
+    The same trick as ``pack_llama_for_decode`` (utils/quantize.py) applied
+    to the encoder towers: one [B*S, E] x [E, 3E] matmul replaces three
+    [E, E] dots — longer HBM bursts and a bigger MXU tile, which is where
+    the towers' ~35% MFU went (CLIP runs small 197-token tiles).
+    ``mha_apply`` dispatches on the "qkv" key; exact same math (split
+    after the dot). Inference-only: training/import use the unpacked
+    q/k/v names."""
+    q, k, v = params["q"], params["k"], params["v"]
+    packed = {"w": jnp.concatenate([q["w"], k["w"], v["w"]], axis=-1)}
+    if "b" in q:
+        packed["b"] = jnp.concatenate([q["b"], k["b"], v["b"]], axis=-1)
+    return {"qkv": packed, "o": params["o"]}
+
+
 def _proj(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     y = x @ p["w"].astype(x.dtype)
     if "b" in p:
@@ -116,11 +165,21 @@ def mha_apply(params: dict, num_heads: int,
     use_flash: route the unmasked case through the streaming Pallas kernel
     (encoder towers; avoids the [B, N, S, S] HBM logits).
     """
-    if kv_in is None:
-        kv_in = q_in
-    q = _split_heads(_proj(params["q"], q_in), num_heads)
-    k = _split_heads(_proj(params["k"], kv_in), num_heads)
-    v = _split_heads(_proj(params["v"], kv_in), num_heads)
+    if "qkv" in params:
+        # packed inference layout (pack_mha): self-attention only
+        assert kv_in is None or kv_in is q_in, \
+            "packed qkv layout is self-attention only"
+        e = q_in.shape[-1]
+        y = _proj(params["qkv"], q_in)
+        q = _split_heads(y[..., :e], num_heads)
+        k = _split_heads(y[..., e:2 * e], num_heads)
+        v = _split_heads(y[..., 2 * e:], num_heads)
+    else:
+        if kv_in is None:
+            kv_in = q_in
+        q = _split_heads(_proj(params["q"], q_in), num_heads)
+        k = _split_heads(_proj(params["k"], kv_in), num_heads)
+        v = _split_heads(_proj(params["v"], kv_in), num_heads)
     if use_flash and mask is None:
         out = flash_sdpa(q, k, v)
     else:

@@ -47,6 +47,11 @@ def parse_args(argv=None):
     p.add_argument("--max-new-tokens", type=int, default=None)
     p.add_argument("--num-beams", type=int, default=1)
     p.add_argument("--output-dir", type=str, default="eval_outputs")
+    p.add_argument("--align-cache", default="bf16",
+                   choices=["bf16", "int8", "off"],
+                   help="precomputed alignment K/V projections + packed "
+                        "tower qkv (inference layout; off = reference-"
+                        "style per-step projection)")
     return p.parse_args(argv)
 
 
@@ -71,6 +76,9 @@ def main(argv=None):
     setup_logging()
     cfg = load_config(args.checkpoint) or Config()
     params = restore_params(args.checkpoint, cfg)
+    from macaw_llm_tpu.serve import _init_align_cache
+    params, align_cache = _init_align_cache(params, cfg.model,
+                                            args.align_cache)
 
     val_json = args.val_json or os.path.join(
         "data", args.dataset, f"{args.dataset}_val_inference.json")
@@ -97,7 +105,8 @@ def main(argv=None):
         batch_size=args.batch_size,
         max_new_tokens=args.max_new_tokens,
         num_beams=args.num_beams,
-        out_path=out_path)
+        out_path=out_path,
+        align_cache=align_cache)
     logger.info("wrote %d generations to %s", len(results), out_path)
     return results
 

@@ -79,20 +79,11 @@ def parse_args(argv=None):
 
 
 def _load_state_dict(ckpt_dir: str) -> dict:
-    """HF checkpoint dir -> flat state dict. Prefers .safetensors (read
-    with the torch-free numpy reader, incl. sharded index files); falls
-    back to pytorch_model.bin."""
-    import glob as _glob
-    from macaw_llm_tpu.utils.safetensors_io import load_safetensors
-    st_files = sorted(_glob.glob(os.path.join(ckpt_dir, "*.safetensors")))
-    if st_files:
-        sd = {}
-        for f in st_files:
-            sd.update(load_safetensors(f))
-        return sd
-    import torch
-    return torch.load(os.path.join(ckpt_dir, "pytorch_model.bin"),
-                      map_location="cpu")
+    """HF checkpoint dir -> flat state dict: sharded-index-aware
+    safetensors (torch-free numpy reader) with a pytorch_model.bin
+    fallback. See utils.safetensors_io.load_checkpoint_dir."""
+    from macaw_llm_tpu.utils.safetensors_io import load_checkpoint_dir
+    return load_checkpoint_dir(ckpt_dir)
 
 
 def load_pretrained(cfg: Config, args) -> dict:
@@ -101,12 +92,14 @@ def load_pretrained(cfg: Config, args) -> dict:
     rng = jax.random.PRNGKey(cfg.train.seed)
     params = fusion.init_params(rng, cfg.model)
     if args.llama_weights:
-        from macaw_llm_tpu.utils.hf_import import (import_llama,
+        from macaw_llm_tpu.utils.hf_import import (import_llama, pad_vocab,
                                                    resize_token_embeddings)
         llm = import_llama(_load_state_dict(args.llama_weights),
                            cfg.model.llm)
-        params["llm"] = resize_token_embeddings(llm,
-                                                cfg.model.llm.vocab_size)
+        llm = resize_token_embeddings(llm, cfg.model.llm.vocab_size)
+        if cfg.model.llm.padded_vocab > cfg.model.llm.vocab_size:
+            llm = pad_vocab(llm, cfg.model.llm.padded_vocab)
+        params["llm"] = llm
     if args.clip_weights:
         from macaw_llm_tpu.utils.hf_import import import_clip_vision
         sd = _load_state_dict(args.clip_weights)
@@ -275,14 +268,16 @@ def main(argv=None):
     tokens_per_batch = global_batch * cfg.data.max_text_len
     start_step = int(state.step)
     done = start_step >= total_steps
-    batch_counter = 0
     for epoch in range(epochs):
         if done:
             break
-        for batch in loader.epoch(epoch):
-            batch_counter += 1
-            if batch_counter <= start_step:  # fast-forward after resume
-                continue
+        # resume fast-forward: skip this epoch's already-trained prefix
+        # WITHOUT assembling it (no media decode for skipped batches)
+        skip = min(max(0, start_step - epoch * loader.steps_per_epoch),
+                   loader.steps_per_epoch)
+        if skip == loader.steps_per_epoch:
+            continue
+        for batch in loader.epoch(epoch, skip=skip):
             state, m = trainer.train_step(state, batch)
             step = int(state.step)
             metrics_log.log(step, m, tokens_per_batch=tokens_per_batch,
@@ -293,6 +288,7 @@ def main(argv=None):
                 em = _run_eval(trainer, state, eval_loader,
                                cfg.train.eval_batches)
                 metrics_log.log(step, em)
+                metrics_log.flush()
             ckpt.save(state, cfg)
             if preempted["flag"]:
                 ckpt.save(state, cfg, force=True)

@@ -55,11 +55,11 @@ def _init_align_cache(params: dict, mcfg, mode: str):
     in-projection rows are dropped. mode: "bf16" (exact), "int8" (half the
     HBM, ~0.2% row error), or "off"."""
     if mode == "off":
-        return params, None
+        return fusion.pack_towers(params), None
     cache = jax.jit(lambda p: fusion.precompute_align_cache(
         p, mcfg, quantize=mode == "int8"))(params)
     jax.block_until_ready(cache)
-    return fusion.strip_align_kv(params), cache
+    return fusion.pack_towers(fusion.strip_align_kv(params)), cache
 
 
 @dataclass
@@ -83,9 +83,11 @@ class InferenceEngine:
 
     def __init__(self, params: dict, cfg: Config, tokenizer,
                  max_batch: int = 8, batch_timeout_ms: float = 20.0,
-                 max_new_tokens: int = 128, align_cache: str = "bf16"):
+                 max_new_tokens: int = 128, align_cache: str = "bf16",
+                 kv_cache_dtype: Optional[str] = None):
         self.params, self.align_cache = _init_align_cache(
             params, cfg.model, align_cache)
+        self.kv_cache_dtype = kv_cache_dtype
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_batch = max_batch
@@ -206,6 +208,7 @@ class InferenceEngine:
                        eos_id=EOS_ID, pad_id=PAD_ID,
                        temperature=jnp.asarray(temps),
                        budgets=jnp.asarray(budgets),
+                       cache_dtype=self.kv_cache_dtype,
                        rng=jax.random.PRNGKey(int(time.time() * 1e3) % 2**31)
                        if any_sampling else None)
         toks = np.asarray(out.tokens)
@@ -249,20 +252,27 @@ class InferenceEngine:
 # HTTP front
 # ---------------------------------------------------------------------------
 
+def _decode_one_image(raw: bytes, size: int) -> np.ndarray:
+    from macaw_llm_tpu.data import native
+    image = native.decode_jpeg_crop(raw, size) if native.available() \
+        else None
+    if image is None:
+        from PIL import Image
+        with Image.open(io.BytesIO(raw)) as im:
+            im = im.convert("RGB").resize((size, size))
+            image = np.asarray(im, np.uint8)
+    return image
+
+
 def _decode_media(payload: dict, cfg: Config):
-    """base64 fields -> arrays (image: JPEG/PNG; audio: WAV)."""
+    """base64 fields -> arrays (image: JPEG/PNG; audio: WAV; video: a list
+    of JPEG/PNG frames — the reference's eval path consumes all three
+    modalities, llm_trainer.py:425-453)."""
     image = audio = video = None
     size = cfg.model.vision.image_size
     if payload.get("image_b64"):
-        from macaw_llm_tpu.data import native
-        raw = base64.b64decode(payload["image_b64"])
-        image = native.decode_jpeg_crop(raw, size) if native.available() \
-            else None
-        if image is None:
-            from PIL import Image
-            with Image.open(io.BytesIO(raw)) as im:
-                im = im.convert("RGB").resize((size, size))
-                image = np.asarray(im, np.uint8)
+        image = _decode_one_image(base64.b64decode(payload["image_b64"]),
+                                  size)
     if payload.get("audio_b64"):
         import tempfile
         from macaw_llm_tpu.data.loader import load_wav
@@ -270,6 +280,21 @@ def _decode_media(payload: dict, cfg: Config):
             f.write(base64.b64decode(payload["audio_b64"]))
             f.flush()
             audio = load_wav(f.name)
+    if payload.get("video_b64"):
+        # list of base64 frames; resampled to n_frames with the last
+        # frame pinned (the reference's 6-of-120 subsampling semantics,
+        # llm_trainer.py:172-181, generalized to any frame count)
+        from macaw_llm_tpu.image.preprocess import sample_frame_indices
+        frames = [_decode_one_image(base64.b64decode(f), size)
+                  for f in payload["video_b64"]]
+        if not frames:
+            raise ValueError("video_b64 must be a non-empty list of "
+                             "base64-encoded frames")
+        n = cfg.model.fusion.n_frames
+        if len(frames) < n:
+            frames = frames + [frames[-1]] * (n - len(frames))
+        idx = sample_frame_indices(len(frames), n)
+        video = np.stack([frames[i] for i in idx])
     return image, audio, video
 
 
@@ -355,17 +380,20 @@ def serve(params: dict, cfg: Config, tokenizer, *, host: str = "0.0.0.0",
           batch_timeout_ms: float = 20.0,
           max_new_tokens: int = 128,
           continuous: bool = True,
-          align_cache: str = "bf16") -> ThreadingHTTPServer:
+          align_cache: str = "bf16",
+          kv_cache_dtype: Optional[str] = None) -> ThreadingHTTPServer:
     if continuous:
         engine = ContinuousEngine(params, cfg, tokenizer, slots=max_batch,
                                   max_new_tokens=max_new_tokens,
-                                  align_cache=align_cache)
+                                  align_cache=align_cache,
+                                  kv_cache_dtype=kv_cache_dtype)
     else:
         engine = InferenceEngine(params, cfg, tokenizer,
                                  max_batch=max_batch,
                                  batch_timeout_ms=batch_timeout_ms,
                                  max_new_tokens=max_new_tokens,
-                                 align_cache=align_cache)
+                                 align_cache=align_cache,
+                                 kv_cache_dtype=kv_cache_dtype)
     engine.start()
     server = ThreadingHTTPServer((host, port), make_handler(engine, cfg))
     server.engine = engine
@@ -388,12 +416,17 @@ def main(argv=None):
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--batch-timeout-ms", type=float, default=20.0)
     p.add_argument("--max-new-tokens", type=int, default=128)
-    p.add_argument("--static", action="store_true",
-                   help="static request batcher (higher batch throughput, "
-                        "no streaming) instead of the default continuous "
-                        "batching engine")
-    p.add_argument("--continuous", action="store_true",
-                   help="(default) slot-based continuous batching")
+    eng_group = p.add_mutually_exclusive_group()
+    eng_group.add_argument("--static", action="store_true",
+                           help="static request batcher (higher batch "
+                                "throughput, no streaming) instead of the "
+                                "default continuous batching engine")
+    eng_group.add_argument("--continuous", action="store_true",
+                           help="(default) slot-based continuous batching")
+    p.add_argument("--kv-cache-dtype", default=None,
+                   choices=[None, "int8"],
+                   help="int8-quantized KV cache: half the decode "
+                        "attention HBM read (continuous engine)")
     p.add_argument("--align-cache", default="int8",
                    choices=["int8", "bf16", "off"],
                    help="precomputed alignment K/V projections (int8 "
@@ -421,7 +454,8 @@ def main(argv=None):
                    batch_timeout_ms=args.batch_timeout_ms,
                    max_new_tokens=args.max_new_tokens,
                    continuous=not args.static,
-                   align_cache=args.align_cache)
+                   align_cache=args.align_cache,
+                   kv_cache_dtype=args.kv_cache_dtype)
     server.serve_forever()
 
 
@@ -457,25 +491,40 @@ class ContinuousEngine:
     supports_streaming = True
 
     def __init__(self, params: dict, cfg: Config, tokenizer, *,
-                 slots: int = 8, prompt_bucket: int = 128,
-                 max_new_tokens: int = 128, align_cache: str = "bf16"):
+                 slots: int = 8, prompt_bucket: int = 256,
+                 max_new_tokens: int = 128, align_cache: str = "bf16",
+                 kv_cache_dtype: Optional[str] = None):
         self.params, self.align_cache = _init_align_cache(
             params, cfg.model, align_cache)
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.slots = slots
+        # prompt_bucket is the MAXIMUM prompt length (default 256 — the
+        # reference's text budget, preprocess_data_supervised.py:101);
+        # each request prefills at the smallest bucket that fits it, so
+        # short prompts never pay the long-prompt prefill.
         self.prompt_bucket = prompt_bucket
+        self.buckets = tuple(b for b in PROMPT_BUCKETS
+                             if b < prompt_bucket) + (prompt_bucket,)
         self.max_new = max_new_tokens
         mcfg = cfg.model
         self.total_len = prompt_bucket + cfg.model.total_prefix_len \
             + max_new_tokens
+        self.kv_cache_dtype = kv_cache_dtype
 
         from macaw_llm_tpu.models import llama as L
         self._L = L
-        cache = L.KVCache.create(mcfg.llm, slots, self.total_len,
-                                 jnp.dtype(mcfg.dtype))
-        self.cache_k = cache.k
-        self.cache_v = cache.v
+        cache = L.KVCache.create(
+            mcfg.llm, slots, self.total_len,
+            jnp.dtype(mcfg.dtype) if kv_cache_dtype is None
+            else kv_cache_dtype)
+        # device cache buffers as ONE donated dict: step/admit alias them
+        # in place instead of materializing a fresh multi-GB cache copy
+        # every decode step (≈2.6 GB/step at 7b slots=8 before donation)
+        self.cache = {"k": cache.k, "v": cache.v}
+        if cache.k_scale is not None:
+            self.cache["ks"] = cache.k_scale
+            self.cache["vs"] = cache.v_scale
         self.lengths = jnp.zeros((slots,), jnp.int32)
         self.toks = jnp.zeros((slots,), jnp.int32)
 
@@ -519,8 +568,12 @@ class ContinuousEngine:
     # -------------------- jitted pieces --------------------
 
     def _build_fns(self):
+        from functools import partial
+
         mcfg = self.cfg.model
         L = self._L
+        cdtype = (jnp.dtype(mcfg.dtype) if self.kv_cache_dtype is None
+                  else self.kv_cache_dtype)
 
         @jax.jit
         def prefill(params, ids, images, audios, videos, mask, temp, rng,
@@ -528,8 +581,7 @@ class ContinuousEngine:
             fused = fusion.prepare_inputs(
                 params, mcfg, input_ids=ids, images=images, audios=audios,
                 videos=videos, attention_mask=mask, align_cache=cache)
-            cache = L.KVCache.create(mcfg.llm, 1, self.total_len,
-                                     jnp.dtype(mcfg.dtype))
+            cache = L.KVCache.create(mcfg.llm, 1, self.total_len, cdtype)
             full_mask = jnp.concatenate(
                 [fused.attention_mask.astype(jnp.int32),
                  jnp.ones((1, self.total_len
@@ -537,44 +589,52 @@ class ContinuousEngine:
                 axis=1)
             pos = jnp.maximum(jnp.cumsum(
                 fused.attention_mask.astype(jnp.int32), axis=1) - 1, 0)
-            logits, cache = L.forward(
-                params["llm"], mcfg.llm,
-                inputs_embeds=fused.inputs_embeds,
-                attention_mask=full_mask, positions=pos, kv_cache=cache,
-                dtype=fused.inputs_embeds.dtype)
+            # hidden states only; project the one sampled position (the
+            # [1, S, 32k] fp32 prefill logits never exist)
+            h, cache = L.forward_hidden(
+                params["llm"], mcfg.llm, fused.inputs_embeds,
+                attention_mask=full_mask, positions=pos, kv_cache=cache)
             last = jnp.max(fused.attention_mask.astype(jnp.int32)
                            * jnp.arange(fused.attention_mask.shape[1]
                                         )[None, :], axis=1)
-            first_logits = jnp.take_along_axis(
-                logits, last[:, None, None], axis=1)[:, 0]       # [1, V]
+            h_last = jnp.take_along_axis(h, last[:, None, None], axis=1)
+            first_logits = L.logits_from_hidden(
+                params["llm"], h_last, L.valid_vocab(mcfg.llm))[:, 0]
             greedy = jnp.argmax(first_logits, -1)
             scaled = first_logits.astype(jnp.float32) \
                 / jnp.maximum(temp, 1e-6)
             sampled = jax.random.categorical(rng, scaled, axis=-1)
             first_tok = jnp.where(temp > 0, sampled, greedy)
-            return cache.k[:, 0], cache.v[:, 0], \
-                first_tok[0].astype(jnp.int32), last[0] + 1
+            new = {k: v[:, 0] for k, v in zip(
+                ("k", "v", "ks", "vs"),
+                (cache.k, cache.v, cache.k_scale, cache.v_scale))
+                if v is not None}
+            return new, first_tok[0].astype(jnp.int32), last[0] + 1
 
-        @jax.jit
-        def admit(cache_k, cache_v, lengths, toks, slot_onehot,
-                  new_k, new_v, new_len, new_tok):
-            # scatter the prefilled slot into the big cache
-            sel = slot_onehot.astype(bool)            # [slots]
-            cache_k = jnp.where(sel[None, :, None, None, None],
-                                new_k[:, None], cache_k)
-            cache_v = jnp.where(sel[None, :, None, None, None],
-                                new_v[:, None], cache_v)
-            lengths = jnp.where(sel, new_len, lengths)
-            toks = jnp.where(sel, new_tok, toks)
-            return cache_k, cache_v, lengths, toks
+        @partial(jax.jit, donate_argnums=(0,))
+        def admit(cache, lengths, toks, slot, new, new_len, new_tok):
+            # single-slot dynamic-update-slice into the donated cache —
+            # an in-place write, not a whole-cache copy
+            out = dict(cache)
+            for key, nv in new.items():
+                idx = (0, slot) + (0,) * (cache[key].ndim - 2)
+                out[key] = jax.lax.dynamic_update_slice(
+                    cache[key], nv[:, None], idx)
+            lengths = jax.lax.dynamic_update_slice(
+                lengths, new_len[None], (slot,))
+            toks = jax.lax.dynamic_update_slice(
+                toks, new_tok[None], (slot,))
+            return out, lengths, toks
 
-        @jax.jit
-        def step(params, cache_k, cache_v, lengths, toks, active, temps,
+        @partial(jax.jit, donate_argnums=(1,))
+        def step(params, cache, lengths, toks, active, temps,
                  key, step_idx):
-            cache = L.KVCache(k=cache_k, v=cache_v, length=lengths)
-            logits, cache = L.forward(
+            kv = L.KVCache(k=cache["k"], v=cache["v"], length=lengths,
+                           k_scale=cache.get("ks"),
+                           v_scale=cache.get("vs"))
+            logits, kv = L.forward(
                 params["llm"], mcfg.llm, input_ids=toks[:, None],
-                kv_cache=cache, dtype=jnp.dtype(mcfg.dtype))
+                kv_cache=kv, dtype=jnp.dtype(mcfg.dtype))
             greedy = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
             rng = jax.random.fold_in(key, step_idx)
             scaled = logits[:, 0].astype(jnp.float32) \
@@ -582,9 +642,12 @@ class ContinuousEngine:
             sampled = jax.random.categorical(rng, scaled,
                                              axis=-1).astype(jnp.int32)
             nxt = jnp.where(temps > 0, sampled, greedy)
-            new_lengths = jnp.where(active, cache.length, lengths)
+            new_lengths = jnp.where(active, kv.length, lengths)
             new_toks = jnp.where(active, nxt, toks)
-            return cache.k, cache.v, new_lengths, new_toks
+            out = {k: v for k, v in zip(
+                ("k", "v", "ks", "vs"),
+                (kv.k, kv.v, kv.k_scale, kv.v_scale)) if v is not None}
+            return out, new_lengths, new_toks
 
         self._prefill_fn, self._admit_fn, self._step_fn = \
             prefill, admit, step
@@ -622,8 +685,12 @@ class ContinuousEngine:
         if t and t[-1] == EOS_ID:
             t = t[:-1]
         t = t[:self.prompt_bucket]
-        ids = np.full((1, self.prompt_bucket), PAD_ID, np.int32)
-        mask = np.zeros((1, self.prompt_bucket), np.int32)
+        # smallest bucket that fits — one compiled prefill per bucket
+        # (bounded by len(self.buckets)); a reference-length 256-token
+        # prompt rides the 256 bucket un-truncated
+        bucket = next(b for b in self.buckets if len(t) <= b)
+        ids = np.full((1, bucket), PAD_ID, np.int32)
+        mask = np.zeros((1, bucket), np.int32)
         ids[0, :len(t)] = t
         mask[0, :len(t)] = 1
         image = req.image if req.image is not None else np.zeros(
@@ -633,26 +700,23 @@ class ContinuousEngine:
         video = req.video if req.video is not None else np.zeros(
             (mcfg.fusion.n_frames, vis.image_size, vis.image_size, 3),
             np.uint8)
-        new_k, new_v, tok, length = self._prefill_fn(
+        new, tok, length = self._prefill_fn(
             self.params, jnp.asarray(ids), jnp.asarray(image[None]),
             jnp.asarray(audio[None]), jnp.asarray(video[None]),
             jnp.asarray(mask), jnp.float32(req.temperature),
             jax.random.fold_in(self._key, counter), self.align_cache)
         # host-sync on the admission thread, NOT the decode loop
-        return (req, new_k, new_v, int(tok), length)
+        return (req, new, int(tok), length)
 
     # -------------------- decode loop --------------------
 
     def _place(self, slot: int, item) -> None:
         """Scatter a prefilled request into a free slot (cheap — the
         expensive prefill already ran on the admission thread)."""
-        req, new_k, new_v, tok, length = item
-        onehot = np.zeros((self.slots,), np.int32)
-        onehot[slot] = 1
-        self.cache_k, self.cache_v, self.lengths, self.toks = \
-            self._admit_fn(self.cache_k, self.cache_v, self.lengths,
-                           self.toks, jnp.asarray(onehot), new_k, new_v,
-                           length, jnp.int32(tok))
+        req, new, tok, length = item
+        self.cache, self.lengths, self.toks = \
+            self._admit_fn(self.cache, self.lengths, self.toks,
+                           jnp.int32(slot), new, length, jnp.int32(tok))
         self._reqs[slot] = req
         self._generated[slot] = [tok]
         self._budget[slot] = min(req.max_new_tokens, self.max_new) - 1
@@ -718,8 +782,8 @@ class ContinuousEngine:
                 continue
             active = np.zeros((self.slots,), bool)
             active[active_slots] = True
-            self.cache_k, self.cache_v, self.lengths, self.toks = \
-                self._step_fn(self.params, self.cache_k, self.cache_v,
+            self.cache, self.lengths, self.toks = \
+                self._step_fn(self.params, self.cache,
                               self.lengths, self.toks, jnp.asarray(active),
                               jnp.asarray(self._temps), self._key,
                               jnp.int32(self.stats["steps"] % 2**31))

@@ -200,16 +200,13 @@ class Trainer:
                               dict):  # caller may pre-quantize in one jit
                 from macaw_llm_tpu.utils.quantize import quantize_llama
                 params = dict(params)
-                params["llm"] = quantize_llama(params["llm"], donate=True)
+                params["llm"] = quantize_llama(params["llm"], donate=donate)
         trainable, frozen = split_params(
             params, self.cfg.train.freeze_encoders,
             lora=self.cfg.train.lora_rank > 0)
         fd = self.cfg.train.frozen_dtype
         if frozen and fd != "param":
-            dt = jnp.dtype(fd)
-            frozen = jax.tree.map(
-                lambda x: x.astype(dt)
-                if jnp.issubdtype(x.dtype, jnp.floating) else x, frozen)
+            frozen = _cast_frozen(frozen, jnp.dtype(fd))
         t_shard = infer_shardings(trainable, self.mesh)
         f_shard = infer_shardings(frozen, self.mesh)
         # jitted identity instead of device_put: device_put may alias the
@@ -239,10 +236,16 @@ class Trainer:
 
         if (self.cfg.train.lora_rank > 0
                 and self.cfg.train.align_cache != "off"):
-            # LoRA: embed_tokens + the align K/V weights are frozen, so the
-            # alignment K/V projections of the vocab memory are step
-            # constants — precompute them instead of re-projecting
-            # 6 x [32k, H] matmuls (+1.75 GB of temps at 7b) every step.
+            # LoRA + align_cache: the alignment K/V projections of the
+            # vocab memory are precomputed ONCE and treated as constants —
+            # this EFFECTIVELY FREEZES the align in-proj K/V rows and
+            # bias_k/bias_v (they get zero gradients and never move, so
+            # the cache never goes stale; the Q rows and out-proj still
+            # train through the query path). embed_tokens is frozen under
+            # LoRA anyway. Set align_cache="off" to train the full
+            # alignment attention at ~1.75 GB of extra temps and
+            # 6.4 TFLOP/step at 7b. Contract asserted by
+            # tests/test_align_cache.py::test_cache_freezes_align_kv.
             mcfg = self.cfg.model
             quant = self.cfg.train.align_cache == "int8"
             full = merge_params(trainable, frozen)
@@ -251,6 +254,10 @@ class Trainer:
                                                         quantize=quant)
             )(full)
             jax.block_until_ready(self._align_cache)
+            logger.info(
+                "align_cache=%s: alignment K/V projections precomputed and "
+                "frozen (Q/out-proj still train); align_cache='off' trains "
+                "them", self.cfg.train.align_cache)
         return state
 
     # -------------------- steps --------------------
@@ -279,6 +286,16 @@ class Trainer:
         return self._step
 
     def train_step(self, state: TrainState, batch: Dict[str, Any]):
+        if self.cfg.model.ring_attention and "attention_mask" in batch:
+            # ring attention has no padding-bias support (long-context
+            # training packs sequences); a padded batch would silently
+            # attend to padding keys — fail loudly instead. Host-side
+            # check on the tiny [A, B, S] int mask.
+            import numpy as np
+            if not np.asarray(batch["attention_mask"]).all():
+                raise ValueError(
+                    "ring_attention requires an all-ones attention_mask "
+                    "(pack sequences instead of padding)")
         return self.step_fn()(state, batch, self._align_cache)
 
     def eval_step_fn(self):
@@ -342,6 +359,23 @@ class Trainer:
             "eval_loss": float(sum(losses) / max(len(losses), 1)),
             "eval_token_accuracy": correct / max(total, 1),
         }
+
+
+def _cast_frozen(tree, dt):
+    """Cast frozen floating leaves to the storage dtype, EXCEPT the fp32
+    per-channel scales of int8 {'q','s'} records — quantize_tensor's
+    contract is fp32 scales, and casting them to bf16 would stack ~0.2-0.4%
+    rounding error on top of the int8 quantization error."""
+    def rec(node):
+        if isinstance(node, dict):
+            if set(node.keys()) == {"q", "s"}:
+                return node
+            return {k: rec(v) for k, v in node.items()}
+        if hasattr(node, "dtype") and jnp.issubdtype(node.dtype,
+                                                     jnp.floating):
+            return node.astype(dt)
+        return node
+    return rec(tree)
 
 
 def batch_sharding_tree(batch: Dict[str, Any], mesh: Mesh):

@@ -95,6 +95,28 @@ def resize_token_embeddings(params: dict, new_vocab: int,
     return out
 
 
+def pad_vocab(params: dict, pad_to: int) -> dict:
+    """Pad embed_tokens rows / lm_head cols with ZEROS up to ``pad_to``
+    (cfg.vocab_pad_to — TP-shardable storage vocab). Unlike
+    resize_token_embeddings, padded entries are never real tokens: ids
+    stay < vocab_size and the padded logits are masked to -inf
+    (llama.logits_from_hidden), so zero init is exact and the rows stay
+    frozen (masked logits carry zero gradient)."""
+    emb = params["embed_tokens"]
+    head = params["lm_head"]
+    old = emb.shape[0]
+    if pad_to == old:
+        return params
+    assert pad_to > old, (pad_to, old)
+    out = dict(params)
+    out["embed_tokens"] = jnp.concatenate(
+        [emb, jnp.zeros((pad_to - old, emb.shape[1]), emb.dtype)], axis=0)
+    out["lm_head"] = jnp.concatenate(
+        [head, jnp.zeros((head.shape[0], pad_to - head.shape[1]),
+                         head.dtype)], axis=1)
+    return out
+
+
 def import_clip_vision(sd: Mapping[str, "object"], cfg: ClipVisionConfig,
                        param_dtype=jnp.float32) -> dict:
     """HF CLIPModel state_dict (vision tower + visual_projection) ->

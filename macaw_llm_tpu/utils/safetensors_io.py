@@ -48,6 +48,43 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def load_checkpoint_dir(ckpt_dir: str) -> Dict[str, np.ndarray]:
+    """HF checkpoint directory -> flat state dict.
+
+    Resolution order (mirrors HF from_pretrained, the loading the
+    reference intended at run_clm_llms.py:478-483):
+      1. ``model.safetensors.index.json`` — a SHARDED checkpoint: the
+         index's weight_map names the shard file per tensor (7B-class
+         checkpoints ship as 2+ shards); each listed shard is read once.
+      2. any ``*.safetensors`` files (single-file or unindexed shards).
+      3. ``pytorch_model.bin`` via torch (legacy).
+    """
+    import glob as _glob
+    import os as _os
+
+    index_path = _os.path.join(ckpt_dir, "model.safetensors.index.json")
+    if _os.path.exists(index_path):
+        with open(index_path) as f:
+            index = json.load(f)
+        weight_map: Dict[str, str] = index["weight_map"]
+        sd: Dict[str, np.ndarray] = {}
+        for shard in sorted(set(weight_map.values())):
+            sd.update(load_safetensors(_os.path.join(ckpt_dir, shard)))
+        missing = [k for k in weight_map if k not in sd]
+        assert not missing, (
+            f"index lists tensors absent from shards: {missing[:5]}")
+        return sd
+    st_files = sorted(_glob.glob(_os.path.join(ckpt_dir, "*.safetensors")))
+    if st_files:
+        sd = {}
+        for f in st_files:
+            sd.update(load_safetensors(f))
+        return sd
+    import torch
+    return torch.load(_os.path.join(ckpt_dir, "pytorch_model.bin"),
+                      map_location="cpu")
+
+
 def save_safetensors(tensors: Mapping[str, np.ndarray], path: str) -> None:
     """Write numpy arrays as a .safetensors file (f32/f16/ints/bool)."""
     rev = {v: k for k, v in _DTYPES.items() if k != "BF16"}

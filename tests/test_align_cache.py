@@ -92,9 +92,11 @@ def test_strip_align_kv_slims_and_cache_path_still_works(setup):
                                rtol=1e-6, atol=1e-6)
 
 
-def test_cache_ignored_under_dropout(setup):
-    """Training (dropout_rng set) must recompute projections so gradients
-    flow through in_proj; the cache arg must be a no-op there."""
+def test_bf16_cache_forward_identical_under_dropout(setup):
+    """The bf16 cache is bit-exact in the FORWARD pass even on the
+    training (dropout) path — the cached rows equal the recomputed
+    projections exactly. (Gradient semantics differ: see
+    test_cache_freezes_align_kv.)"""
     cfg, params, batch = setup
     cfg = dataclasses.replace(
         cfg, fusion=dataclasses.replace(cfg.fusion, align_dropout=0.1))
@@ -111,6 +113,65 @@ def test_cache_ignored_under_dropout(setup):
         align_cache=cache)
     np.testing.assert_array_equal(np.asarray(got.inputs_embeds),
                                   np.asarray(ref.inputs_embeds))
+
+
+def test_cache_freezes_align_kv(setup):
+    """Contract (ADVICE r2, high): training WITH an align cache freezes
+    the align in-proj K/V rows + bias_k/bias_v — their gradients are
+    exactly zero (so the precomputed cache can never go stale) — while
+    the Q rows and out-proj still receive gradients through the query
+    path. Training WITHOUT a cache gradients the K/V rows too (the
+    reference's behavior)."""
+    cfg, params, batch = setup
+    cfg = dataclasses.replace(
+        cfg, fusion=dataclasses.replace(cfg.fusion, align_dropout=0.1))
+    rng = jax.random.PRNGKey(9)
+    cache = fusion.precompute_align_cache(params, cfg)
+    e = cfg.llm.hidden_size
+
+    def loss(fusion_params, align_cache):
+        p = dict(params)
+        p["fusion"] = fusion_params
+        out = fusion.prepare_inputs(
+            p, cfg, input_ids=batch["input_ids"], images=batch["images"],
+            audios=batch["audios"], videos=batch["videos"],
+            attention_mask=batch["attention_mask"], dropout_rng=rng,
+            align_cache=align_cache)
+        return jnp.sum(out.inputs_embeds.astype(jnp.float32) ** 2)
+
+    g_cached = jax.grad(loss)(params["fusion"], cache)
+    g_free = jax.grad(loss)(params["fusion"], None)
+    for mod in ("image_align", "audio_align", "video_align"):
+        gc, gf = g_cached[mod], g_free[mod]
+        # cached: K/V rows + bias_k/v frozen (zero grads) ...
+        np.testing.assert_array_equal(np.asarray(gc["in_proj_w"][e:]), 0.0)
+        np.testing.assert_array_equal(np.asarray(gc["in_proj_b"][e:]), 0.0)
+        np.testing.assert_array_equal(np.asarray(gc["bias_k"]), 0.0)
+        np.testing.assert_array_equal(np.asarray(gc["bias_v"]), 0.0)
+        # ... while Q rows and out-proj still train
+        assert np.abs(np.asarray(gc["in_proj_w"][:e])).max() > 0
+        assert np.abs(np.asarray(gc["out_proj_w"])).max() > 0
+        # uncached: gradients reach the K/V rows (full alignment training)
+        assert np.abs(np.asarray(gf["in_proj_w"][e:])).max() > 0
+        assert np.abs(np.asarray(gf["bias_k"])).max() > 0
+
+
+def test_pack_towers_parity(setup):
+    """Packed tower qkv (one [h, 3h] in-proj per layer) is the same math
+    as the separate q/k/v projections — outputs must match exactly
+    (matmul columns are independent)."""
+    cfg, params, batch = setup
+    ref = _prep(cfg, params, batch, None)
+    packed = fusion.pack_towers(params)
+    for tower in ("image_encoder", "video_encoder", "audio_encoder"):
+        attn = packed[tower]["layers"]["attn"]
+        assert "qkv" in attn and "q" not in attn
+        # original tree untouched
+        assert "q" in params[tower]["layers"]["attn"]
+    got = _prep(cfg, packed, batch, None)
+    np.testing.assert_allclose(np.asarray(got.inputs_embeds),
+                               np.asarray(ref.inputs_embeds),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_shared_kv_project_matches_inline():

@@ -203,3 +203,49 @@ class TestPerRequestSemantics:
             pad_id=0, temperature=jnp.asarray([2.0], np.float32),
             rng=jax.random.PRNGKey(s)).tokens) for s in range(4)]
         assert any(not np.array_equal(outs[0], o) for o in outs[1:])
+
+
+class TestInt8KVCache:
+    """Quantized KV cache (llama.KVCache dtype=int8): half the decode
+    attention HBM read; logits must stay close to the bf16-cache path."""
+
+    def test_prefill_and_decode_logits_close(self, params):
+        rng = np.random.RandomState(1)
+        ids = rng.randint(3, 120, (2, 9)).astype(np.int32)
+        cache = llama.KVCache.create(CFG, 2, 12, "int8")
+        assert cache.k.dtype == jnp.int8 and cache.k_scale is not None
+        lq, cache = llama.forward(params, CFG, input_ids=jnp.asarray(ids),
+                                  kv_cache=cache)
+        lref, _ = llama.forward(params, CFG, input_ids=jnp.asarray(ids))
+        scale = np.abs(np.asarray(lref)).max()
+        assert np.abs(np.asarray(lq) - np.asarray(lref)).max() \
+            <= 0.03 * scale
+        # one decode step against the quantized cache
+        tok = rng.randint(3, 120, (2, 1)).astype(np.int32)
+        ld, cache = llama.forward(params, CFG, input_ids=jnp.asarray(tok),
+                                  kv_cache=cache)
+        full = np.concatenate([ids, tok], axis=1)
+        lfull, _ = llama.forward(params, CFG, input_ids=jnp.asarray(full))
+        assert int(cache.length) == 10
+        diff = np.abs(np.asarray(ld[:, 0]) - np.asarray(lfull[:, -1]))
+        assert diff.max() <= 0.03 * scale
+
+    def test_generate_with_int8_cache_matches_bf16(self, params):
+        """Greedy tokens through the int8 cache must match the exact-cache
+        path on a well-separated model (tiny random logits are nearly
+        uniform, so compare token-by-token with a tolerance on count)."""
+        rng = np.random.RandomState(2)
+        embeds = (rng.randn(2, 7, CFG.hidden_size) * 0.02).astype(
+            np.float32)
+        ref = generate(params, CFG, inputs_embeds=jnp.asarray(embeds),
+                       max_new_tokens=12, eos_id=2, pad_id=0)
+        got = generate(params, CFG, inputs_embeds=jnp.asarray(embeds),
+                       max_new_tokens=12, eos_id=2, pad_id=0,
+                       cache_dtype="int8")
+        r = np.asarray(ref.tokens)
+        g = np.asarray(got.tokens)
+        assert g.shape == r.shape
+        # quantization noise may flip a near-tie; the vast majority of
+        # greedy tokens must agree
+        agree = (g == r).mean()
+        assert agree >= 0.75, (agree, r, g)

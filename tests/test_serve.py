@@ -329,3 +329,130 @@ class TestAdmissionOverlap:
             assert gaps.max() < delay * 0.75, gaps
         finally:
             eng.stop()
+
+
+class TestVideoOverHTTP:
+    def test_video_b64_round_trip(self, setup):
+        """An HTTP request carrying base64 JPEG video frames must reach
+        the model as a [n_frames, H, W, 3] tensor and return a generation
+        (the reference eval path consumes video, llm_trainer.py:425-453)."""
+        import base64
+        import io as _io
+        from PIL import Image
+        cfg, params = setup
+        size = cfg.model.vision.image_size
+        server = serve(params, cfg, MiniTok(), host="127.0.0.1", port=0,
+                       max_batch=2, batch_timeout_ms=10, max_new_tokens=3,
+                       continuous=False)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            frames = []
+            for i in range(2):   # fewer than n_frames: padded by repeat
+                buf = _io.BytesIO()
+                Image.fromarray(
+                    np.full((size, size, 3), 40 * (i + 1), np.uint8)
+                ).save(buf, format="JPEG")
+                frames.append(base64.b64encode(buf.getvalue()).decode())
+            body = json.dumps({"prompt": "describe the clip",
+                               "video_b64": frames,
+                               "max_new_tokens": 3}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=600) as r:
+                out = json.loads(r.read())
+            assert "text" in out, out
+        finally:
+            server.shutdown()
+            server.engine.stop()
+
+    def test_decode_media_video_sampling(self, setup):
+        """_decode_media resamples arbitrary frame counts to n_frames with
+        the last frame pinned (llm_trainer.py:172-181 semantics)."""
+        import base64
+        import io as _io
+        from PIL import Image
+        from macaw_llm_tpu.serve import _decode_media
+        cfg, _ = setup
+        size = cfg.model.vision.image_size
+        n = cfg.model.fusion.n_frames
+        frames = []
+        for i in range(14):
+            buf = _io.BytesIO()
+            Image.fromarray(np.full((size, size, 3), i * 18, np.uint8)
+                            ).save(buf, format="PNG")  # PNG: lossless
+            frames.append(base64.b64encode(buf.getvalue()).decode())
+        image, audio, video = _decode_media({"video_b64": frames}, cfg)
+        assert image is None and audio is None
+        assert video.shape == (n, size, size, 3)
+        # last stored frame pinned as the last sampled frame
+        assert video[-1, 0, 0, 0] == 13 * 18
+
+
+class TestLongPrompts:
+    def test_250_token_prompt_untruncated(self, setup):
+        """A reference-length (~250 token) prompt must round-trip through
+        the continuous engine un-truncated (VERDICT r2: the old
+        prompt_bucket=128 silently dropped the second half)."""
+        import jax.numpy as jnp
+        from macaw_llm_tpu.config import EOS_ID, PAD_ID
+        from macaw_llm_tpu.data.templates import format_prompt
+        from macaw_llm_tpu.generate import generate
+        from macaw_llm_tpu.models import fusion as F
+        from macaw_llm_tpu.serve import ContinuousEngine, Request
+        cfg, params = setup
+        tok = MiniTok()
+        prompt = " ".join(f"word{i}" for i in range(222))
+        n_tok = len(tok.encode(format_prompt(prompt)))
+        assert 240 <= n_tok <= 256, n_tok  # reference-length prompt
+        eng = ContinuousEngine(params, cfg, tok, slots=1,
+                               max_new_tokens=3)  # default bucket: 256
+        assert eng.prompt_bucket == 256
+        eng.start()
+        try:
+            out = eng.generate_sync(Request(prompt=prompt,
+                                            max_new_tokens=3), timeout=900)
+            assert "text" in out, out
+        finally:
+            eng.stop()
+        # reference: one-shot generate over the FULL 250-token prompt
+        vis = cfg.model.vision
+        ids = np.full((1, 256), PAD_ID, np.int32)
+        mask = np.zeros((1, 256), np.int32)
+        t = tok.encode(format_prompt(prompt))
+        ids[0, :len(t)] = t
+        mask[0, :len(t)] = 1
+        fused = F.prepare_inputs(
+            params, cfg.model, input_ids=jnp.asarray(ids),
+            images=jnp.zeros((1, vis.image_size, vis.image_size, 3),
+                             jnp.uint8),
+            audios=jnp.zeros((1, 480000), jnp.float32),
+            videos=jnp.zeros((1, cfg.model.fusion.n_frames, vis.image_size,
+                              vis.image_size, 3), jnp.uint8),
+            attention_mask=jnp.asarray(mask))
+        ref = generate(params["llm"], cfg.model.llm,
+                       inputs_embeds=fused.inputs_embeds,
+                       attention_mask=fused.attention_mask,
+                       max_new_tokens=3, eos_id=EOS_ID, pad_id=PAD_ID)
+        ref_toks = [int(x) for x in np.asarray(ref.tokens)[0]
+                    if int(x) != PAD_ID]
+        assert out["text"] == tok.decode(ref_toks)
+
+
+class TestInt8KVEngine:
+    def test_continuous_engine_int8_cache(self, setup):
+        from macaw_llm_tpu.serve import ContinuousEngine, Request
+        cfg, params = setup
+        eng = ContinuousEngine(params, cfg, MiniTok(), slots=2,
+                               prompt_bucket=32, max_new_tokens=4,
+                               kv_cache_dtype="int8")
+        assert "ks" in eng.cache and eng.cache["k"].dtype.name == "int8"
+        eng.start()
+        try:
+            out = eng.generate_sync(Request(prompt="quantized cache probe",
+                                            max_new_tokens=4), timeout=900)
+            assert "text" in out and out["tokens"] <= 4
+        finally:
+            eng.stop()
