@@ -97,7 +97,11 @@ def main():
     # (what previously broke 7b int8 decode at runtime).
     import dataclasses
     cfg = dataclasses.replace(cfg, dtype="bfloat16")
-    quant_decode = args.mode == "decode" and args.quantize == "int8"
+    # int8 weights apply to decode (HBM-bound: direct win) and optionally
+    # to prefill (compute-bound, but halving weight HBM pulls the working
+    # set off the 15.75 GB ceiling where XLA starts remat/spill
+    # scheduling)
+    quant_decode = args.quantize == "int8"
 
     def _init(key):
         p = fusion.init_params(key, cfg, param_dtype=jnp.bfloat16)
@@ -247,6 +251,7 @@ def main():
     result = {
         "metric": "multimodal examples/sec/chip prefill "
                   f"(profile={args.profile}, batch={b}, seq={s}, "
+                  f"quant={args.quantize or 'bf16'}, "
                   f"fused_len={s + cfg.total_prefix_len}, "
                   f"pipelined_step_ms={per_step * 1000:.1f}, "
                   f"p50_ttft_ms={ttft_ms:.1f}, device={dev.device_kind})",

@@ -176,6 +176,30 @@ def _assemble(ds: TokenizedDataset, media: Optional[MediaSource],
     return {k: v.reshape((accum, mb) + v.shape[1:]) for k, v in out.items()}
 
 
+def device_prefetch(batches: Iterator[Dict[str, np.ndarray]],
+                    lookahead: int = 2, sharding=None) -> Iterator[Dict]:
+    """Overlap host->device transfer with the training step.
+
+    ``jax.device_put`` is asynchronous: dispatching batch N+1's transfer
+    before batch N is consumed hides the ~25 MB/step of media bytes
+    behind the device compute. Without this the step pays the full
+    transfer serially — a large slice of the real-loop-vs-benchmark gap
+    (VERDICT r2 #7: 0.605 vs 0.325 s/step; bench.py reuses an on-device
+    batch and never pays the transfer).
+
+    sharding: optional pytree-or-single Sharding so multi-device batches
+    land directly in their final layout (trainer.batch_sharding_tree)."""
+    import jax
+    q = deque()
+    for batch in batches:
+        q.append(jax.device_put(batch, sharding)
+                 if sharding is not None else jax.device_put(batch))
+        if len(q) > lookahead:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 class BatchLoader:
     """Shuffled, epoch-aware iterator of device-ready batches.
 

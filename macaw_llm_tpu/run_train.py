@@ -26,7 +26,8 @@ import numpy as np
 
 from macaw_llm_tpu.config import Config, IGNORE_ID, tiny_model_config
 from macaw_llm_tpu.data.datasets import TokenizedDataset
-from macaw_llm_tpu.data.loader import BatchLoader, MediaSource
+from macaw_llm_tpu.data.loader import (BatchLoader, MediaSource,
+                                        device_prefetch)
 from macaw_llm_tpu.models import fusion
 from macaw_llm_tpu.parallel.mesh import create_mesh, multihost_initialize
 from macaw_llm_tpu.train.checkpoint import CheckpointManager
@@ -277,7 +278,16 @@ def main(argv=None):
                    loader.steps_per_epoch)
         if skip == loader.steps_per_epoch:
             continue
-        for batch in loader.epoch(epoch, skip=skip):
+        batches = loader.epoch(epoch, skip=skip)
+        if jax.process_count() == 1:
+            # async device transfer overlapped with the previous step
+            # (multi-process feeds per-host shards straight to the jitted
+            # step instead — device_put of a global sharding needs global
+            # arrays there)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            bshard = NamedSharding(mesh, P(None, ("dcn", "data", "fsdp")))
+            batches = device_prefetch(batches, sharding=bshard)
+        for batch in batches:
             state, m = trainer.train_step(state, batch)
             step = int(state.step)
             metrics_log.log(step, m, tokens_per_batch=tokens_per_batch,

@@ -17,6 +17,19 @@ import jax.numpy as jnp
 
 QUANT_KEYS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
 
+# decode matvec backend: "xla" (fused dequant-matmul) or "pallas"
+# (ops/pallas/matvec.py weight-streaming kernel). Switched per-process by
+# serving/bench entry points BEFORE tracing; a static choice, not a traced
+# one. Default stays "xla" until the kernel wins on the target chip
+# (scripts/bench_matvec.py measures both).
+_DECODE_KERNEL = "xla"
+
+
+def set_decode_kernel(name: str) -> None:
+    global _DECODE_KERNEL
+    assert name in ("xla", "pallas"), name
+    _DECODE_KERNEL = name
+
 
 def quantize_tensor(w: jnp.ndarray, reduce_axis: int = -2
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -121,6 +134,14 @@ def matmul(x: jnp.ndarray, w, compute) -> jnp.ndarray:
     """
     if not (isinstance(w, dict) and "q" in w):
         return x @ w.astype(compute)
+    if (_DECODE_KERNEL == "pallas" and x.ndim == 3 and x.shape[1] == 1
+            and w["q"].ndim == 2):
+        # single-token decode: route the [B, K] @ int8 [K, N] matvec
+        # through the Pallas weight-streaming kernel
+        from macaw_llm_tpu.ops.pallas.matvec import matvec_int8
+        y = matvec_int8(x[:, 0].astype(compute), w["q"],
+                        w["s"].astype(jnp.float32), out_dtype=compute)
+        return y[:, None]
     # optimization_barrier pins the dequant to its use site: inside a
     # lax.scan over stacked layers XLA otherwise rewrites
     # convert(dynamic-slice(W)) -> dynamic-slice(convert(W)) (loop-

@@ -1,0 +1,102 @@
+"""Isolated decode-matvec micro-benchmark: XLA fused dequant vs the
+Pallas weight-streaming kernel (ops/pallas/matvec.py).
+
+Runs the four packed decode matvec shapes of the 7b profile back-to-back
+under a layer scan (the real decode structure: 32 iterations streaming
+~202 MB of int8 weights each) and reports effective HBM bandwidth. The
+winner becomes serve/bench's decode kernel (utils/quantize.set_decode_kernel).
+
+Usage: python scripts/bench_matvec.py [--batch 16] [--layers 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+# 7b packed decode shapes: qkv, wo, gateup, down
+SHAPES = [(4096, 12288), (4096, 4096), (4096, 22016), (11008, 4096)]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--layers", type=int, default=32)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--block-n", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from macaw_llm_tpu.ops.pallas.matvec import matvec_int8
+    from macaw_llm_tpu.utils import quantize as qz
+
+    b, L = args.batch, args.layers
+    rng = np.random.RandomState(0)
+
+    weights = []
+    for k, n in SHAPES:
+        w = jnp.asarray(rng.randn(L, k, n) * 0.02, jnp.float32)
+        q, s = jax.jit(qz.quantize_tensor)(w)
+        weights.append((q, s))
+    jax.block_until_ready(weights)
+    int8_bytes = sum(L * k * n for k, n in SHAPES)
+
+    x0 = jnp.asarray(rng.randn(b, SHAPES[0][0]) * 0.1, jnp.bfloat16)
+
+    @jax.jit
+    def run_xla(x, weights):
+        def body(acc, ws):
+            h = acc
+            for (q, s), (k, n) in zip(ws, SHAPES):
+                y = (h[:, : q.shape[0]] if h.shape[1] >= q.shape[0]
+                     else jnp.pad(h, ((0, 0), (0, q.shape[0] - h.shape[1]))))
+                h = qz.matmul(y[:, None], {"q": q, "s": s},
+                              jnp.bfloat16)[:, 0]
+            return h[:, :SHAPES[0][0]] * 1e-3, None
+        out, _ = jax.lax.scan(body, x, weights)
+        return out.sum()
+
+    @jax.jit
+    def run_pallas(x, weights):
+        def body(acc, ws):
+            h = acc
+            for (q, s), (k, n) in zip(ws, SHAPES):
+                y = (h[:, : q.shape[0]] if h.shape[1] >= q.shape[0]
+                     else jnp.pad(h, ((0, 0), (0, q.shape[0] - h.shape[1]))))
+                h = matvec_int8(y, q, s.astype(jnp.float32),
+                                block_n=args.block_n)
+            return h[:, :SHAPES[0][0]] * 1e-3, None
+        out, _ = jax.lax.scan(body, x, weights)
+        return out.sum()
+
+    def timed(f):
+        float(f(x0, weights))
+        float(f(x0, weights))
+        ts = []
+        for _ in range(args.steps):
+            t0 = time.perf_counter()
+            float(f(x0, weights))
+            ts.append(time.perf_counter() - t0)
+        return statistics.median(ts)
+
+    t_x = timed(run_xla)
+    t_p = timed(run_pallas)
+    print(f"decode weight stream x{L} layers, batch {b} "
+          f"({int8_bytes / 1e9:.2f} GB int8):")
+    print(f"  xla fused dequant: {t_x * 1e3:7.2f} ms  "
+          f"({int8_bytes / t_x / 1e9:6.1f} GB/s effective)")
+    print(f"  pallas streaming : {t_p * 1e3:7.2f} ms  "
+          f"({int8_bytes / t_p / 1e9:6.1f} GB/s effective)  "
+          f"speedup {t_x / t_p:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
