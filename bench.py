@@ -63,6 +63,11 @@ def main():
                         "half the decode attention HBM read")
     p.add_argument("--slots", type=int, default=0,
                    help="serve mode: engine slots (default: --batch)")
+    p.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="decode mode: prompt-lookup speculative decoding "
+                        "with K draft tokens per verify forward (output "
+                        "identical to greedy; speedup scales with n-gram "
+                        "acceptance on the prompt)")
     p.add_argument("--align-cache", default="int8",
                    choices=["int8", "bf16", "off"],
                    help="precomputed alignment K/V projections: int8 "
@@ -160,13 +165,27 @@ def main():
 
         fused = fuse(params, batch, align_cache)
 
+        if args.speculative:
+            from macaw_llm_tpu.generate import generate_speculative
+
         def run_decode():
-            out = generate(llm_params, cfg.llm,
-                           inputs_embeds=fused.inputs_embeds,
-                           attention_mask=fused.attention_mask,
-                           max_new_tokens=args.max_new_tokens,
-                           cache_dtype=args.kv_quant,
-                           eos_id=-1)  # no early stop: measure full budget
+            if args.speculative:
+                out = generate_speculative(
+                    llm_params, cfg.llm,
+                    inputs_embeds=fused.inputs_embeds,
+                    prompt_ids=batch["input_ids"],
+                    attention_mask=fused.attention_mask,
+                    max_new_tokens=args.max_new_tokens,
+                    draft_len=args.speculative,
+                    cache_dtype=args.kv_quant,
+                    eos_id=-1)  # no early stop: measure full budget
+            else:
+                out = generate(llm_params, cfg.llm,
+                               inputs_embeds=fused.inputs_embeds,
+                               attention_mask=fused.attention_mask,
+                               max_new_tokens=args.max_new_tokens,
+                               cache_dtype=args.kv_quant,
+                               eos_id=-1)
             return int(np.asarray(out.tokens)[0, -1])  # forces readback
 
         for _ in range(args.warmup):

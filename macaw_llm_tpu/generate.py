@@ -163,6 +163,201 @@ def generate_from_ids(params: dict, cfg: LlamaConfig, *,
                     attention_mask=attention_mask, **kw)
 
 
+# ---------------------------------------------------------------------------
+# Speculative decoding (prompt-lookup drafts + batched verify)
+# ---------------------------------------------------------------------------
+
+def _ngram_propose(hist: jnp.ndarray, hist_len: jnp.ndarray,
+                   draft_len: int, ngram: int,
+                   pad_id: int) -> jnp.ndarray:
+    """Prompt-lookup drafting: propose the ``draft_len`` tokens that
+    followed the most recent earlier occurrence of the current
+    ``ngram``-token suffix in the row's history.
+
+    hist [B, L] int32 (prompt then generated, PAD elsewhere);
+    hist_len [B] valid lengths. Rows with no match propose PAD (which the
+    verify step rejects — plain decode speed, never wrong output).
+    """
+    b, L = hist.shape
+    rows = jnp.arange(b)[:, None]
+    s0 = hist_len - ngram                                   # suffix start
+    suffix = hist[rows, jnp.clip(s0[:, None] + jnp.arange(ngram), 0, L - 1)]
+    # match[p] == True iff hist[p : p + ngram] == suffix
+    match = jnp.ones((b, L - ngram + 1), bool)
+    for j in range(ngram):
+        match &= hist[:, j:L - ngram + 1 + j] == suffix[:, j:j + 1]
+    p = jnp.arange(L - ngram + 1)[None, :]
+    # candidate must end strictly before the suffix occurrence itself
+    valid = match & (p < s0[:, None]) & (s0[:, None] >= 0)
+    best = jnp.max(jnp.where(valid, p, -1), axis=1)         # [B]
+    idx = best[:, None] + ngram + jnp.arange(draft_len)[None, :]
+    vals = hist[rows, jnp.clip(idx, 0, L - 1)]
+    ok = (best[:, None] >= 0) & (idx < hist_len[:, None])
+    return jnp.where(ok, vals, pad_id).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "eos_id",
+                                   "pad_id", "draft_len", "ngram",
+                                   "cache_dtype", "proposer"))
+def generate_speculative(params: dict, cfg: LlamaConfig, *,
+                         inputs_embeds: jnp.ndarray,
+                         prompt_ids: jnp.ndarray,
+                         attention_mask: Optional[jnp.ndarray] = None,
+                         max_new_tokens: int = 128,
+                         eos_id: int = EOS_ID,
+                         pad_id: int = PAD_ID,
+                         draft_len: int = 4,
+                         ngram: int = 2,
+                         cache_dtype: Optional[str] = None,
+                         proposer: str = "ngram",
+                         oracle_tokens: Optional[jnp.ndarray] = None
+                         ) -> GenerateResult:
+    """Greedy decoding with speculative verification.
+
+    Decode is HBM-bound: one verify forward over ``draft_len + 1``
+    positions streams the same weight bytes as a single-token step, so
+    every accepted draft token is nearly free. Drafts come from
+    prompt-lookup (``proposer="ngram"``): the continuation of the most
+    recent earlier occurrence of the current n-token suffix in
+    [prompt_ids; generated] — no draft model, strong on the reference's
+    grounded VQA/AVSD answers that copy prompt spans. The output is
+    IDENTICAL to ``generate``'s greedy output for any drafts (rejected
+    drafts fall back to the verified token), which the tests pin.
+
+    inputs_embeds [B, S_f]: the fused multimodal prefill sequence.
+    prompt_ids [B, S_p]: right-padded TEXT token ids (the n-gram corpus);
+    pass the same input_ids the fusion consumed.
+    proposer="oracle" (with oracle_tokens [B, max_new]) replaces the
+    drafter with ground truth — the mechanism's acceptance=1 upper bound,
+    used by scripts/bench_speculative.py.
+
+    Beyond-reference capability (the reference greedy-decodes one token
+    per forward through HF generate, modeling.py:959).
+    """
+    assert proposer in ("ngram", "oracle")
+    if proposer == "oracle":
+        assert oracle_tokens is not None
+    b, s, _ = inputs_embeds.shape
+    k = draft_len
+    total = s + max_new_tokens + k  # verify writes may overshoot by <= k
+    dtype = inputs_embeds.dtype
+
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, s), jnp.int32)
+    full_mask = jnp.concatenate(
+        [attention_mask.astype(jnp.int32),
+         jnp.ones((b, max_new_tokens + k), jnp.int32)], axis=1)
+    prompt_pos = jnp.maximum(
+        jnp.cumsum(attention_mask.astype(jnp.int32), axis=1) - 1, 0)
+
+    cache = llama.KVCache.create(
+        cfg, b, total, dtype if cache_dtype is None else cache_dtype)
+    h, cache = llama.forward_hidden(
+        params, cfg, inputs_embeds,
+        attention_mask=full_mask, positions=prompt_pos, kv_cache=cache)
+    last_valid = jnp.max(attention_mask.astype(jnp.int32)
+                         * jnp.arange(s)[None, :], axis=1)
+    h_last = jnp.take_along_axis(h, last_valid[:, None, None], axis=1)
+    first_logits = llama.logits_from_hidden(
+        params, h_last, llama.valid_vocab(cfg))[:, 0]
+    next_tok = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
+
+    # n-gram corpus: prompt text directly followed by generated tokens
+    # (per-row placement — right-padded prompts leave no PAD gap)
+    sp = prompt_ids.shape[1]
+    L = sp + max_new_tokens
+    plen = jnp.sum((prompt_ids != pad_id).astype(jnp.int32), axis=1)
+    hist0 = jnp.concatenate(
+        [prompt_ids.astype(jnp.int32),
+         jnp.full((b, max_new_tokens), pad_id, jnp.int32)], axis=1)
+
+    out0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
+    out0 = out0.at[:, 0].set(next_tok)
+    rows = jnp.arange(b)
+
+    class SpecState(NamedTuple):
+        cache: llama.KVCache
+        tok: jnp.ndarray       # [B] last emitted token (not yet in cache)
+        out: jnp.ndarray       # [B, max_new]
+        n_emit: jnp.ndarray    # [B] tokens emitted so far
+        row_len: jnp.ndarray   # [B] valid cache length per row
+        finished: jnp.ndarray  # [B] bool
+        rounds: jnp.ndarray    # scalar: verify forwards actually run
+
+    row_len0 = jnp.full((b,), s, jnp.int32)
+    state = SpecState(cache=cache._replace(length=row_len0), tok=next_tok,
+                      out=out0, n_emit=jnp.ones((b,), jnp.int32),
+                      row_len=row_len0,
+                      finished=(next_tok == eos_id),
+                      rounds=jnp.zeros((), jnp.int32))
+
+    def cond(st: SpecState):
+        return (~st.finished.all()) & (st.n_emit.min() < max_new_tokens)
+
+    def body(st: SpecState):
+        # ---- draft ----
+        if proposer == "oracle":
+            idx = st.n_emit[:, None] + jnp.arange(k)[None, :]
+            drafts = jnp.where(
+                idx < max_new_tokens,
+                oracle_tokens[rows[:, None], jnp.clip(idx, 0,
+                                                      max_new_tokens - 1)],
+                pad_id).astype(jnp.int32)
+        else:
+            hist = hist0.at[rows[:, None],
+                            jnp.clip(plen[:, None] + jnp.arange(
+                                max_new_tokens), 0, L - 1)].set(st.out)
+            drafts = _ngram_propose(hist, plen + st.n_emit, k, ngram,
+                                    pad_id)
+
+        # ---- verify forward over [tok, d1..dk] ----
+        seq = jnp.concatenate([st.tok[:, None], drafts], axis=1)  # [B,k+1]
+        emb = params["embed_tokens"].astype(dtype)[seq]
+        cache_in = st.cache._replace(length=st.row_len)
+        logits, cache = llama.forward(
+            params, cfg, inputs_embeds=emb, attention_mask=full_mask,
+            kv_cache=cache_in, dtype=dtype)
+        # forward already masks padded vocab columns to -inf
+        t = jnp.argmax(logits, axis=-1).astype(jnp.int32)         # [B,k+1]
+
+        # ---- accept: longest matching prefix, stop at EOS/budget ----
+        m = drafts == t[:, :k]                                    # [B, k]
+        lead = jnp.cumprod(m.astype(jnp.int32), axis=1)           # [B, k]
+        i_idx = jnp.arange(k + 1)[None, :]
+        within_accept = i_idx <= jnp.sum(lead, axis=1)[:, None]   # i <= a
+        # eos_before[i]: an EOS strictly before index i in this round
+        eos_before = jnp.concatenate(
+            [jnp.zeros((b, 1), bool),
+             jnp.cumsum((t[:, :k] == eos_id).astype(jnp.int32),
+                        axis=1) > 0], axis=1)
+        vi = (within_accept & ~eos_before
+              & ((st.n_emit[:, None] + i_idx) < max_new_tokens)
+              & ~st.finished[:, None])                            # [B,k+1]
+        nv = jnp.sum(vi.astype(jnp.int32), axis=1)                # [B]
+
+        # ---- emit ----
+        pos = st.n_emit[:, None] + i_idx
+        vals = jnp.where(vi, t, pad_id)
+        # only write the valid region; mode="drop" clips budget overflow
+        out = st.out.at[rows[:, None],
+                        jnp.where(vi, pos, max_new_tokens)].set(
+            vals, mode="drop")
+        new_emit = st.n_emit + nv
+        hit_eos = jnp.any(vi & (t == eos_id), axis=1)
+        finished = (st.finished | hit_eos
+                    | (new_emit >= max_new_tokens))
+        last_i = jnp.maximum(nv - 1, 0)
+        new_tok = jnp.where(st.finished, st.tok,
+                            t[rows, last_i])
+        return SpecState(cache=cache._replace(length=st.row_len),
+                         tok=new_tok, out=out, n_emit=new_emit,
+                         row_len=st.row_len + nv, finished=finished,
+                         rounds=st.rounds + 1)
+
+    final = jax.lax.while_loop(cond, body, state)
+    return GenerateResult(tokens=final.out, num_steps=final.rounds)
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_beams", "max_new_tokens",
                                    "eos_id", "pad_id", "length_penalty"))
 def beam_search(params: dict, cfg: LlamaConfig, *,

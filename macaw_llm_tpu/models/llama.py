@@ -179,13 +179,24 @@ def _attention(cfg: LlamaConfig, p: dict, h: jnp.ndarray,
             kw, vw = k.astype(ck_all.dtype), v.astype(cv_all.dtype)
         if cache_pos.ndim == 1:
             # per-row write positions (continuous batching: every slot has
-            # its own sequence length); decode steps only (s == 1)
+            # its own sequence length). s == 1 is the decode step; s > 1 is
+            # the speculative-verify step (k draft tokens + 1 verified per
+            # row, all written at row-relative offsets in one scatter).
             rows = jnp.arange(b)
-            ck_all = ck_all.at[li, rows, cache_pos].set(kw[:, 0])
-            cv_all = cv_all.at[li, rows, cache_pos].set(vw[:, 0])
-            if quant_cache:
-                ks_all = ks_all.at[li, rows, cache_pos].set(ks[:, 0])
-                vs_all = vs_all.at[li, rows, cache_pos].set(vs[:, 0])
+            if s == 1:
+                ck_all = ck_all.at[li, rows, cache_pos].set(kw[:, 0])
+                cv_all = cv_all.at[li, rows, cache_pos].set(vw[:, 0])
+                if quant_cache:
+                    ks_all = ks_all.at[li, rows, cache_pos].set(ks[:, 0])
+                    vs_all = vs_all.at[li, rows, cache_pos].set(vs[:, 0])
+            else:
+                r2 = rows[:, None]
+                cols = cache_pos[:, None] + jnp.arange(s)[None, :]
+                ck_all = ck_all.at[li, r2, cols].set(kw)
+                cv_all = cv_all.at[li, r2, cols].set(vw)
+                if quant_cache:
+                    ks_all = ks_all.at[li, r2, cols].set(ks)
+                    vs_all = vs_all.at[li, r2, cols].set(vs)
         else:
             # write current k/v into the static cache at cache_pos
             ck_all = jax.lax.dynamic_update_slice(
@@ -300,14 +311,15 @@ def forward_hidden(params: dict, cfg: LlamaConfig,
         cache_pos = kv_cache.length
         kv_len = kv_cache.k.shape[2]
         if cache_pos.ndim == 1:
-            # per-row lengths (continuous batching): single-token decode
-            assert s == 1, "vector cache lengths support s == 1 only"
+            # per-row lengths (continuous batching / speculative verify):
+            # query i of row r sits at absolute position cache_pos[r] + i
             if positions is None:
-                positions = cache_pos[:, None]
-            k_pos = jnp.arange(kv_len)[None, :]
-            base = jnp.where(k_pos <= cache_pos[:, None], 0.0,
-                             jnp.finfo(jnp.float32).min)
-            mask = base[:, None, None, :]              # [B, 1, 1, kv]
+                positions = cache_pos[:, None] + jnp.arange(s)[None, :]
+            q_pos = cache_pos[:, None, None] + jnp.arange(s)[None, :, None]
+            k_pos = jnp.arange(kv_len)[None, None, :]
+            base = jnp.where(k_pos <= q_pos, 0.0,
+                             jnp.finfo(jnp.float32).min)  # [B, s, kv]
+            mask = base[:, None, :, :]                    # [B, 1, s, kv]
         else:
             if positions is None:
                 positions = cache_pos + jnp.arange(s)[None, :]
