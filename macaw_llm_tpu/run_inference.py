@@ -46,6 +46,10 @@ def parse_args(argv=None):
     p.add_argument("--max-examples", type=int, default=None)
     p.add_argument("--max-new-tokens", type=int, default=None)
     p.add_argument("--num-beams", type=int, default=1)
+    p.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="prompt-lookup speculative decoding with K draft "
+                        "tokens per verify forward (greedy only; output "
+                        "identical to the non-speculative greedy path)")
     p.add_argument("--output-dir", type=str, default="eval_outputs")
     p.add_argument("--align-cache", default="bf16",
                    choices=["bf16", "int8", "off"],
@@ -105,6 +109,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         max_new_tokens=args.max_new_tokens,
         num_beams=args.num_beams,
+        speculative=args.speculative,
         out_path=out_path,
         align_cache=align_cache)
     logger.info("wrote %d generations to %s", len(results), out_path)
