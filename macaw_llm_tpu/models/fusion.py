@@ -227,15 +227,31 @@ def _align(p: dict, heads: int, feats: jnp.ndarray, memory: jnp.ndarray,
     for every batch element, so K/V are projected once ([V, H], unbatched)
     instead of the reference's per-element projection."""
     if rng is None or dropout_rate == 0.0:
-        # inference / no-dropout: online-softmax flash path (never
-        # materializes the [B, N, q, |V|] logits)
-        kv = None
         if kv_cache is not None:
+            b, sq, _ = feats.shape
+            m2 = kv_cache["k"][0].shape[0]
+            logits_bytes = b * heads * sq * m2 * 4
+            if logits_bytes <= int(4e8):
+                # inference fast path: einsum streaming the (int8) cached
+                # rows straight into the dots — beats the flash kernel at
+                # prefill batch sizes (measured 23.6 vs 35.9 ms for the 3
+                # alignments at 7b b16, scripts/bench_align_variants.py)
+                from macaw_llm_tpu.ops.attention import \
+                    torch_mha_apply_shared_kv_einsum
+                return torch_mha_apply_shared_kv_einsum(
+                    p, heads, feats, (kv_cache["k"], kv_cache["v"]))
+            # large-batch guard: fp32 logits would spike HBM; stream via
+            # the online-softmax kernel instead
             kv = (_dequant_rows(kv_cache["k"], feats.dtype),
                   _dequant_rows(kv_cache["v"], feats.dtype))
+            return torch_mha_apply_shared_kv_flash(p, heads, feats, memory,
+                                                   add_zero_attn=True,
+                                                   kv_cache=kv)
+        # no cache: online-softmax flash path (never materializes the
+        # [B, N, q, |V|] logits)
         return torch_mha_apply_shared_kv_flash(p, heads, feats, memory,
                                                add_zero_attn=True,
-                                               kv_cache=kv)
+                                               kv_cache=None)
     kv = None
     if kv_cache is not None:
         kv = (_dequant_rows(kv_cache["k"], feats.dtype),

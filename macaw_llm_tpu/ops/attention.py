@@ -180,7 +180,15 @@ def mha_apply(params: dict, num_heads: int,
         q = _split_heads(_proj(params["q"], q_in), num_heads)
         k = _split_heads(_proj(params["k"], kv_in), num_heads)
         v = _split_heads(_proj(params["v"], kv_in), num_heads)
-    if use_flash and mask is None:
+    # flash only past the measured crossover: at short sequences the
+    # einsum path wins (CLIP's 197-token frames: 35.8 ms vs 47.8 ms flash
+    # for 96 frames on v5e) because the streaming kernel pads head_dim
+    # 64->128 and pays per-grid-step overhead, while the materialized
+    # [B, N, S, S] logits are small. At Whisper's 1500 tokens the
+    # materialization (1.15 GB fp32 at b16) costs more than the kernel
+    # (30.5 ms vs 37.3 ms) — same shape-dependent crossover as the LLM's
+    # einsum-below-2k rule (bench.py).
+    if use_flash and mask is None and k.shape[1] >= 1024:
         out = flash_sdpa(q, k, v)
     else:
         out = dot_product_attention(q, k, v, mask)
@@ -457,6 +465,55 @@ def shared_kv_project(params: dict, memory: jnp.ndarray,
         rows_k.append(zero)
         rows_v.append(zero)
     return jnp.concatenate(rows_k, axis=0), jnp.concatenate(rows_v, axis=0)
+
+
+def torch_mha_apply_shared_kv_einsum(params: dict, num_heads: int,
+                                     query: jnp.ndarray,
+                                     kv_cache: tuple) -> jnp.ndarray:
+    """Einsum alignment attention streaming the (optionally int8) cached
+    K/V directly — the inference fast path at prefill batch sizes.
+
+    Measured on v5e at 7b b16 (scripts/bench_align_variants.py): 5.8 /
+    7.0 / 10.8 ms for the image/audio/video alignments vs 10.9 / 11.0 /
+    14.0 ms through the streaming flash kernel — at ~50 queries per
+    example the materialized [B, N, Sq, |V|] logits are cheap, while the
+    Pallas grid (16 heads x 32 K-blocks per modality) pays per-step
+    overhead, plus the cache-dequant materialization and the fold
+    transposes. int8 cache rows are streamed raw into the dot (integers
+    <= 127 are exact in bf16) with the per-row scales applied to the
+    logits (K) and probs (V) AFTER the dots — exact, since each scale is
+    constant along the contracted E-per-head axis.
+
+    kv_cache: ((k, k_scale), (v, v_scale)) from
+    ``fusion.precompute_align_cache`` internals — scale None for a plain
+    bf16 cache, [M2, 1] fp32 per-row scales for int8.
+    """
+    e = query.shape[-1]
+    n = num_heads
+    d = e // n
+    b, sq, _ = query.shape
+    (kq, ks), (vq, vs) = kv_cache
+    m2 = kq.shape[0]
+
+    w = params["in_proj_w"].astype(query.dtype)
+    bias = params["in_proj_b"].astype(query.dtype)
+    q = query @ w[:e].T + bias[:e]
+    qh = q.reshape(b, sq, n, d)
+    k8 = kq.reshape(m2, n, d)
+    v8 = vq.reshape(m2, n, d)
+
+    logits = jnp.einsum("bqnd,knd->bnqk", qh, k8.astype(query.dtype),
+                        preferred_element_type=jnp.float32) * (d ** -0.5)
+    if ks is not None:
+        logits = logits * ks[:, 0][None, None, None, :]
+    probs = jax.nn.softmax(logits, axis=-1)
+    if vs is not None:
+        probs = probs * vs[:, 0][None, None, None, :]
+    out = jnp.einsum("bnqk,knd->bqnd", probs.astype(query.dtype),
+                     v8.astype(query.dtype))
+    out = out.reshape(b, sq, e)
+    return out @ params["out_proj_w"].astype(out.dtype).T + \
+        params["out_proj_b"].astype(out.dtype)
 
 
 def torch_mha_apply_shared_kv_flash(params: dict, num_heads: int,

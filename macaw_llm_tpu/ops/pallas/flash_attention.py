@@ -87,11 +87,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
 
     @pl.when(run)
     def _step():
-        q = q_ref[0].astype(jnp.float32) * scale       # [bq, d]
-        k = k_ref[0].astype(jnp.float32)               # [bk, d]
-        v = v_ref[0].astype(jnp.float32)
+        # MXU operands stay in the input dtype (bf16): casting to fp32
+        # before the dot drops the matmul to the ~8x slower fp32 MXU path
+        # (measured 6 ms -> ~1 ms for one Whisper-shape attention). The
+        # accumulate is fp32 via preferred_element_type — the exact
+        # numeric contract of the einsum path (dot_product_attention),
+        # which also feeds bf16 operands.
+        q = q_ref[0]                                   # [bq, d]
+        k = k_ref[0]                                   # [bk, d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32) * scale
         if bias_ref is not None:
             s = s + bias_ref[0, 0][None, :]
         if causal:
@@ -107,8 +112,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         corr = jnp.exp(m_prev - m_new)
         m_scr[:] = m_new
         l_scr[:] = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+        # probs cast to the V dtype for the MXU (einsum path does the
+        # same: probs.astype(q.dtype) before the PV dot)
         acc_scr[:] = acc_prev * corr + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(kj == nk - 1)
@@ -193,14 +200,15 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
 
     @pl.when(run)
     def _step():
-        q = q_ref[0].astype(jnp.float32) * scale
-        do = do_ref[0].astype(jnp.float32)
+        # bf16 MXU operands, fp32 accumulate (see _fwd_kernel note)
+        q = q_ref[0]
+        do = do_ref[0]
         lse = lse_ref[0, 0][:, None]
         delta = delta_ref[0, 0][:, None]
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
+        k = k_ref[0]
+        v = v_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32) * scale
         if bias_ref is not None:
             s = s + bias_ref[0, 0][None, :]
         if causal:
@@ -212,7 +220,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(k.dtype)
         dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -238,14 +246,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
 
     @pl.when(run)
     def _step():
-        q = q_ref[0].astype(jnp.float32) * scale
-        do = do_ref[0].astype(jnp.float32)
+        # bf16 MXU operands, fp32 accumulate (see _fwd_kernel note)
+        q = q_ref[0]
+        do = do_ref[0]
         lse = lse_ref[0, 0][:, None]
         delta = delta_ref[0, 0][:, None]
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
+        k = k_ref[0]
+        v = v_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32) * scale
         if bias_ref is not None:
             s = s + bias_ref[0, 0][None, :]
         if causal:
@@ -256,18 +265,19 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
             s = jnp.where(k_idx <= q_idx, s, NEG_INF)
         p = jnp.exp(s - lse)                           # [bq, bk]
         dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(q.dtype)
         dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(qi == nq - 1)
     def _finalize():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        # dL/dk = scale * ds^T @ q (ds is w.r.t. the SCALED logits)
+        dk_ref[0] = (dk_scr[:] * scale).astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
