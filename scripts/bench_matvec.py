@@ -41,10 +41,15 @@ def main():
     b, L = args.batch, args.layers
     rng = np.random.RandomState(0)
 
+    # build random int8 records directly: a bandwidth benchmark does not
+    # need realistic values, and sourcing them from fp32 randn materializes
+    # ~26 GB of float64 on the host + ~12 GB fp32 peaks on the chip.
     weights = []
     for k, n in SHAPES:
-        w = jnp.asarray(rng.randn(L, k, n) * 0.02, jnp.float32)
-        q, s = jax.jit(qz.quantize_tensor)(w)
+        q = jnp.asarray(
+            rng.randint(-127, 128, (L, k, n), dtype=np.int8))
+        s = jnp.asarray(
+            (rng.rand(L, 1, n).astype(np.float32) + 0.5) * 2e-4)
         weights.append((q, s))
     jax.block_until_ready(weights)
     int8_bytes = sum(L * k * n for k, n in SHAPES)
