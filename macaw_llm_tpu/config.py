@@ -334,8 +334,21 @@ class TrainConfig:
     # what gives a 7b LoRA fine-tune real activation headroom on one v5e.
     # Embeddings/norms stay bf16; adapters and optimizer state stay fp32.
     quantize_base: bool = False
+    # ZeRO-Offload equivalent (reference configs/deepspeed_config.json:
+    # 25-37 offload_optimizer device=cpu): AdamW mu/nu live in host DRAM
+    # (memory_kind="pinned_host") and stream over PCIe each step. Frees
+    # 2-3 bytes/param of HBM at the cost of step time — the lever that
+    # lets a single chip run a full fine-tune whose optimizer state
+    # exceeds HBM. TPU-only (the CPU backend has no host memory space).
+    offload_optimizer: bool = False
     save_steps: int = 5000
     save_total_limit: int = 1
+    # async checkpointing: snapshot the mutable state into non-donated
+    # device buffers (+ one-time host cache of the constant frozen tree)
+    # so the Orbax d2h read overlaps training instead of fencing it.
+    # Costs a transient HBM copy of trainable+opt state; disable on runs
+    # within ~2x of the HBM ceiling (see train/checkpoint.py).
+    ckpt_snapshot: bool = True
     log_steps: int = 10
     # periodic eval during training: every N optimizer steps run
     # `eval_batches` forward-only batches of the eval split and log

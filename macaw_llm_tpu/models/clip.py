@@ -97,17 +97,32 @@ def _encoder_layer(cfg: ClipVisionConfig, lp: dict,
 
 
 def encode_patches(params: dict, cfg: ClipVisionConfig,
-                   pixels: jnp.ndarray, use_flash: bool = False
-                   ) -> jnp.ndarray:
+                   pixels: jnp.ndarray, use_flash: bool = False,
+                   remat=False) -> jnp.ndarray:
     """Reference ``encode_image`` (modeling.py:1085-1093): projected patch
     tokens with CLS dropped. pixels [B, 3, H, W] -> [B, P, projection_dim].
+
+    ``remat`` (False | "nothing"/True | "dots") wraps each encoder layer
+    in jax.checkpoint — the reference's gradient_checkpointing_enable on
+    the towers (modeling.py:770-783). Only bites when the tower is being
+    differentiated through (freeze_encoders=False); frozen towers save no
+    residuals either way.
     """
     h = _embeddings(params, cfg, pixels)
     h = layer_norm(h, params["pre_layernorm"]["w"],
                    params["pre_layernorm"]["b"], cfg.layer_norm_eps)
 
+    def layer_fn(lp, h):
+        return _encoder_layer(cfg, lp, h, use_flash=use_flash)
+
+    if remat:
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if remat == "dots"
+                  else jax.checkpoint_policies.nothing_saveable)
+        layer_fn = jax.checkpoint(layer_fn, policy=policy)
+
     def body(h, lp):
-        return _encoder_layer(cfg, lp, h, use_flash=use_flash), None
+        return layer_fn(lp, h), None
 
     h, _ = jax.lax.scan(body, h, params["layers"])
     # HF returns last_hidden_state un-post-layernormed; the reference

@@ -138,7 +138,9 @@ def encode_image(params: dict, cfg: ModelConfig,
                  images: jnp.ndarray) -> jnp.ndarray:
     """[B, 3, H, W] -> [B, P, projection_dim] (modeling.py:1085-1093)."""
     return clip.encode_patches(params["image_encoder"], cfg.vision, images,
-                               use_flash=cfg.tower_flash)
+                               use_flash=cfg.tower_flash,
+                               remat=(cfg.remat_policy if cfg.remat
+                                      else False))
 
 
 def encode_video_long(params: dict, cfg: ModelConfig, videos: jnp.ndarray,
@@ -149,7 +151,9 @@ def encode_video_long(params: dict, cfg: ModelConfig, videos: jnp.ndarray,
     b, f = videos.shape[0], videos.shape[1]
     frames = videos.reshape((b * f,) + videos.shape[2:])
     feats = clip.encode_patches(params["video_encoder"], cfg.vision, frames,
-                                use_flash=cfg.tower_flash)
+                                use_flash=cfg.tower_flash,
+                                remat=(cfg.remat_policy if cfg.remat
+                                       else False))
     feats = feats.reshape(b, f * feats.shape[1], feats.shape[2])
     feats = feats + sinusoidal_pe(feats.shape[1], feats.shape[2],
                                   feats.dtype)[None]
@@ -202,7 +206,9 @@ def encode_audio(params: dict, cfg: ModelConfig,
                  audios: jnp.ndarray) -> jnp.ndarray:
     """[B, 80, 3000] -> [B, 1500, d_model] (modeling.py:1081-1083)."""
     return whisper.encode(params["audio_encoder"], cfg.audio, audios,
-                          use_flash=cfg.tower_flash)
+                          use_flash=cfg.tower_flash,
+                          remat=(cfg.remat_policy if cfg.remat
+                                 else False))
 
 
 # ---------------------------------------------------------------------------

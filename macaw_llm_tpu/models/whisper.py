@@ -89,19 +89,33 @@ def _encoder_layer(cfg: WhisperConfig, lp: dict,
 
 
 def encode(params: dict, cfg: WhisperConfig,
-           mel: jnp.ndarray, use_flash: bool = False) -> jnp.ndarray:
+           mel: jnp.ndarray, use_flash: bool = False,
+           remat=False) -> jnp.ndarray:
     """Reference ``encode_audio`` (modeling.py:1081-1083).
 
     mel: [B, 80, 3000] log-mel (channel-first, Whisper convention)
     -> [B, 1500, d_model].
+
+    ``remat`` (False | "nothing"/True | "dots") wraps each encoder layer
+    in jax.checkpoint — the reference's gradient_checkpointing_enable on
+    the towers (modeling.py:770-783); a no-op while the tower is frozen.
     """
     x = jnp.transpose(mel, (0, 2, 1))        # NWC for TPU conv
     x = gelu(_conv1d(params["conv1"], x, 1))
     x = gelu(_conv1d(params["conv2"], x, 2))  # 3000 -> 1500
     x = x + params["embed_positions"].astype(x.dtype)[None, :x.shape[1]]
 
+    def layer_fn(lp, h):
+        return _encoder_layer(cfg, lp, h, use_flash=use_flash)
+
+    if remat:
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if remat == "dots"
+                  else jax.checkpoint_policies.nothing_saveable)
+        layer_fn = jax.checkpoint(layer_fn, policy=policy)
+
     def body(h, lp):
-        return _encoder_layer(cfg, lp, h, use_flash=use_flash), None
+        return layer_fn(lp, h), None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     return layer_norm(x, params["layer_norm"]["w"], params["layer_norm"]["b"],

@@ -41,7 +41,10 @@ def parse_args(argv=None):
     p.add_argument("--dataset", type=str, default="vqa")
     p.add_argument("--val-json", type=str, default=None)
     p.add_argument("--names", type=str, default=None)
-    p.add_argument("--tokenizer", type=str, default=None)
+    p.add_argument("--tokenizer", type=str, required=True,
+                   help="tokenizer dir/name (the reference always loads "
+                        "one, run_clm_llms_inference.py:417); generation "
+                        "cannot encode prompts without it")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--max-examples", type=int, default=None)
     p.add_argument("--max-new-tokens", type=int, default=None)
@@ -97,10 +100,8 @@ def main(argv=None):
                             image_size=cfg.model.vision.image_size,
                             n_frames=cfg.model.fusion.n_frames)
 
-    tokenizer = None
-    if args.tokenizer:
-        from transformers import AutoTokenizer
-        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+    from transformers import AutoTokenizer
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
 
     out_path = os.path.join(args.output_dir,
                             f"{args.dataset}_eval_outputs.json")

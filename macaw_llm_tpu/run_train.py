@@ -226,7 +226,8 @@ def main(argv=None):
     if cfg.train.save_steps > 0:
         ckpt = CheckpointManager(args.output_dir,
                                  save_steps=cfg.train.save_steps,
-                                 max_to_keep=cfg.train.save_total_limit)
+                                 max_to_keep=cfg.train.save_total_limit,
+                                 snapshot=cfg.train.ckpt_snapshot)
     else:
         # save_steps=0 disables checkpointing entirely (benchmark runs;
         # also the axon relay moves ~4 MB/s d2h, making multi-GB saves

@@ -178,6 +178,7 @@ class Trainer:
         self.lr_schedule = make_lr_schedule(cfg.train, total_steps)
         self._step = None
         self._state_shardings = None
+        self._opt_dev_shardings = None
         self._align_cache = None
 
     # -------------------- state --------------------
@@ -213,7 +214,14 @@ class Trainer:
         # caller's buffers, and train_step donates the state — every
         # init_state must own fresh storage (unless donate=True, where
         # ownership transfers and no copy happens at all).
-        kw = dict(donate_argnums=(0,)) if donate else {}
+        # Donation is single-device-only: on a multi-device mesh the
+        # caller's unsharded buffers can never alias the sharded outputs
+        # (XLA flags them "not usable"), and with aval collisions the
+        # alias pairing itself breaks (seen on the 8-device CPU mesh:
+        # "Expected aliased input ... to have the same size"). The
+        # fragmentation problem donation solves is single-chip anyway.
+        kw = (dict(donate_argnums=(0,))
+              if donate and self.mesh.size == 1 else {})
         trainable = jax.jit(lambda t: t, out_shardings=t_shard,
                             **kw)(trainable)
         frozen = (jax.jit(lambda t: t, out_shardings=f_shard,
@@ -222,6 +230,13 @@ class Trainer:
 
         abstract = jax.eval_shape(self.tx.init, trainable)
         opt_shard = opt_state_shardings(abstract, t_shard, self.mesh)
+        if self.cfg.train.offload_optimizer:
+            # ZeRO-Offload equivalent: mu/nu/count live in host DRAM and
+            # stream to the chip inside the step (see step_fn). Same
+            # PartitionSpecs — only the memory space changes.
+            self._opt_dev_shardings = opt_shard
+            opt_shard = jax.tree.map(
+                lambda s: s.with_memory_kind("pinned_host"), opt_shard)
         opt_state = jax.jit(self.tx.init,
                             out_shardings=opt_shard)(trainable)
         rep = NamedSharding(self.mesh, P())
@@ -273,10 +288,28 @@ class Trainer:
             grad_dtype = jnp.dtype(self.cfg.train.grad_dtype)
             ring_mesh = self.mesh if mcfg.ring_attention else None
 
-            @partial(jax.jit, donate_argnums=(0,))
+            # pin the output state's shardings to the input state's:
+            # donation aliases buffers by aval, and without the pin GSPMD
+            # may lay an output leaf out differently (e.g. replicate a
+            # small stacked norm it chose to shard on input), which
+            # fails the aliasing check at runtime
+            out_sh = ((self._state_shardings, None)
+                      if self._state_shardings is not None else None)
+            opt_dev = self._opt_dev_shardings
+
+            @partial(jax.jit, donate_argnums=(0,), out_shardings=out_sh)
             def _step(state, batch, align_cache):
                 batch = jax.lax.with_sharding_constraint(
                     batch, batch_sharding_tree(batch, self.mesh))
+                if opt_dev is not None:
+                    # offload_optimizer: pull mu/nu from host DRAM into
+                    # HBM for the update; out_shardings (pinned_host,
+                    # captured from the live state) pushes the new opt
+                    # state back out — both transfers are in-graph and
+                    # overlap with compute under XLA's latency-hiding
+                    # scheduler
+                    state = state._replace(opt_state=jax.device_put(
+                        state.opt_state, opt_dev))
                 return train_step(state, batch, mcfg, tx, sched, lora_scale,
                                   grad_dtype=grad_dtype,
                                   ring_mesh=ring_mesh,

@@ -83,6 +83,17 @@ def test_train_resume_and_inference(tmp_path):
                               "eval_outputs/toy_eval_outputs.json"))
 
 
+def test_inference_requires_tokenizer(capsys):
+    """VERDICT r3 #8: a missing --tokenizer used to crash deep inside
+    eval (`tokenizer.encode` on None); now it fails at parse time with
+    a clear message (the reference always loads one,
+    run_clm_llms_inference.py:417)."""
+    from macaw_llm_tpu import run_inference
+    with pytest.raises(SystemExit):
+        run_inference.parse_args(["--checkpoint", "x"])
+    assert "--tokenizer" in capsys.readouterr().err
+
+
 def test_train_with_eval(tmp_path):
     """--eval-steps/--do-eval wire the reference's token-accuracy metric
     (run_clm_llms.py:515-528, dead there) into real training."""

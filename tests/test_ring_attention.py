@@ -130,10 +130,17 @@ class TestAlignedLoss:
 
 class TestRingInDecoder:
     def test_decoder_forward_with_ring_matches_plain(self):
-        """llama.forward with ring attention over the tensor axis ==
-        single-device forward (long-context training path)."""
+        """llama.forward_hidden with ring attention over the tensor axis
+        == single-device forward (long-context training path).
+
+        Contiguous layout takes plain-order inputs; zigzag requires the
+        CALLER to permute embeddings + RoPE positions and unpermute the
+        output (the fusion._forward_ring contract) — the test exercises
+        both."""
         from macaw_llm_tpu.config import tiny_model_config
         from macaw_llm_tpu.models import fusion, llama
+        from macaw_llm_tpu.parallel.ring_attention import (
+            inverse_permutation, zigzag_indices)
         cfg = tiny_model_config()
         params = fusion.init_params(jax.random.PRNGKey(9), cfg)["llm"]
         emb = llama.embed(params,
@@ -141,9 +148,21 @@ class TestRingInDecoder:
                               16, 32000, (2, 64))))
         ref, _ = llama.forward_hidden(params, cfg.llm, emb)
         mesh = create_mesh(MeshConfig(data=1, fsdp=2, tensor=4))
+
         got, _ = llama.forward_hidden(params, cfg.llm, emb,
-                                      ring_mesh=mesh, ring_axis="tensor")
+                                      ring_mesh=mesh, ring_axis="tensor",
+                                      ring_layout="contiguous")
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-3, atol=1e-4)
+
+        perm = zigzag_indices(64, 4)
+        pos = jnp.broadcast_to(perm[None, :], (2, 64))
+        got_z, _ = llama.forward_hidden(params, cfg.llm, emb[:, perm],
+                                        positions=pos,
+                                        ring_mesh=mesh, ring_axis="tensor",
+                                        ring_layout="zigzag")
+        got_z = got_z[:, inverse_permutation(perm)]
+        np.testing.assert_allclose(np.asarray(got_z), np.asarray(ref),
                                    rtol=2e-3, atol=1e-4)
 
 

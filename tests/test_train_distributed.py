@@ -135,6 +135,39 @@ class TestTrainStep:
         after = np.asarray(jax.device_get(jax.tree.leaves(state1.frozen)[0]))
         np.testing.assert_array_equal(before, after)
 
+    def test_unfrozen_encoders_train_under_remat(self):
+        """VERDICT r3 #7: freeze_encoders=False + remat must train the
+        towers WITH gradient checkpointing on their layers (the
+        reference remat-wraps Whisper/CLIP too, modeling.py:770-783)."""
+        import dataclasses
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, remat=True),
+            train=dataclasses.replace(cfg.train, freeze_encoders=False))
+        mesh = create_mesh(cfg.mesh)
+        params = fusion.init_params(jax.random.PRNGKey(7), cfg.model)
+        trainer = Trainer(cfg, mesh, total_steps=100)
+        state = trainer.init_state(params)
+        assert state.frozen == {}  # everything trains
+        before = np.asarray(jax.device_get(
+            state.trainable["image_encoder"]["layers"]["mlp"]["fc1"]["w"]))
+        # non-zero media so tower grads are non-trivial
+        batch = make_batch(cfg)
+        rng = np.random.RandomState(3)
+        vis = cfg.model.vision
+        batch["images"] = jnp.asarray(
+            rng.randn(2, 8, 3, vis.image_size, vis.image_size), jnp.float32)
+        batch["audios"] = jnp.asarray(
+            rng.randn(2, 8, 80, 3000) * 0.1, jnp.float32)
+        # two steps: the warmup schedule makes step 1's LR exactly 0
+        state1, m = trainer.train_step(state, batch)
+        state2, m = trainer.train_step(state1, batch)
+        assert np.isfinite(float(m["loss"]))
+        after = np.asarray(jax.device_get(
+            state2.trainable["image_encoder"]["layers"]["mlp"]["fc1"]["w"]))
+        assert not np.array_equal(before, after)  # grads reached the tower
+
     def test_grad_accum_equals_big_batch(self):
         """accum over [2, B] microbatches == one [1, 2B] batch (same data).
 
@@ -205,6 +238,58 @@ class TestCheckpoint:
             state2, m = trainer.train_step(restored, make_batch(cfg))
             assert int(state2.step) == 2
             assert np.isfinite(float(m["loss"]))
+            mgr.close()
+
+    def test_async_save_overlaps_donating_step(self):
+        """VERDICT r3 #5: a save must not stall training. With
+        snapshot=True the next train step may DONATE the state buffers
+        while the Orbax writer is still reading — the writer reads the
+        snapshot copy, so the checkpoint must equal the pre-step state,
+        not the post-step one."""
+        from macaw_llm_tpu.train.checkpoint import CheckpointManager
+        cfg = tiny_config()
+        mesh = create_mesh(cfg.mesh)
+        params = fusion.init_params(jax.random.PRNGKey(2), cfg.model)
+        trainer = Trainer(cfg, mesh, total_steps=10)
+        state = trainer.init_state(params)
+        state, _ = trainer.train_step(state, make_batch(cfg))
+
+        # capture the values the checkpoint must contain
+        expect_w = np.asarray(jax.device_get(
+            state.trainable["fusion"]["to_hidden"]["image"]["w"]))
+        expect_frozen = np.asarray(jax.device_get(
+            jax.tree.leaves(state.frozen)[0]))
+
+        with tempfile.TemporaryDirectory() as d:
+            mgr = CheckpointManager(d, save_steps=1, snapshot=True)
+            assert mgr.save(state, cfg, force=True)
+            # NO wait: immediately run a donating step on the saved state
+            state2, m = trainer.train_step(state, make_batch(cfg))
+            assert int(state2.step) == 2
+            assert np.isfinite(float(m["loss"]))
+            mgr.wait()
+
+            restored = mgr.restore(state2)  # layout template only
+            assert int(restored.step) == 1
+            got_w = np.asarray(jax.device_get(
+                restored.trainable["fusion"]["to_hidden"]["image"]["w"]))
+            np.testing.assert_array_equal(got_w, expect_w)
+            got_frozen = np.asarray(jax.device_get(
+                jax.tree.leaves(restored.frozen)[0]))
+            np.testing.assert_array_equal(got_frozen, expect_frozen)
+            # the step actually changed the trainable weight, so equality
+            # above proves the writer read the snapshot, not the donated
+            # (now-overwritten) buffer
+            post_w = np.asarray(jax.device_get(
+                state2.trainable["fusion"]["to_hidden"]["image"]["w"]))
+            assert not np.array_equal(post_w, expect_w)
+
+            # second save reuses the host-cached frozen tree
+            assert mgr._frozen_id is not None
+            cached = mgr._frozen_host
+            assert mgr.save(state2, cfg, force=True)
+            assert mgr._frozen_host is cached
+            mgr.wait()
             mgr.close()
 
 
