@@ -56,8 +56,13 @@ def main():
                    choices=["nothing", "dots"],
                    help="remat policy (train mode): dots saves matmul "
                         "outputs, recomputing only elementwise ops")
-    p.add_argument("--quantize", default=None, choices=[None, "int8"],
-                   help="weight-only quantization for the decode path")
+    p.add_argument("--quantize", default=None,
+                   choices=[None, "int8", "w8a8"],
+                   help="int8: weight-only quantization (decode: direct "
+                        "HBM win). w8a8: int8 weights + per-token int8 "
+                        "activations on multi-row matmuls -> native "
+                        "s8xs8 MXU dots (394 vs 197 peak TOPS on v5e; "
+                        "measured 1.4x on the 7b prefill matmul shapes)")
     p.add_argument("--kv-quant", default=None, choices=[None, "int8"],
                    help="int8-quantized KV cache (decode/serve modes): "
                         "half the decode attention HBM read")
@@ -106,7 +111,10 @@ def main():
     # to prefill (compute-bound, but halving weight HBM pulls the working
     # set off the 15.75 GB ceiling where XLA starts remat/spill
     # scheduling)
-    quant_decode = args.quantize == "int8"
+    quant_decode = args.quantize in ("int8", "w8a8")
+    if args.quantize == "w8a8":
+        from macaw_llm_tpu.utils.quantize import set_activation_quant
+        set_activation_quant(True)
 
     def _init(key):
         p = fusion.init_params(key, cfg, param_dtype=jnp.bfloat16)

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from macaw_llm_tpu.config import ClipVisionConfig
-from macaw_llm_tpu.ops import layer_norm, mha_apply, mha_init, quick_gelu
+from macaw_llm_tpu.ops import (dense, layer_norm, mha_apply, mha_init,
+                               quick_gelu)
 
 
 def init_params(rng: jax.Array, cfg: ClipVisionConfig,
@@ -89,10 +90,8 @@ def _encoder_layer(cfg: ClipVisionConfig, lp: dict,
     ln1 = layer_norm(h, lp["ln1"]["w"], lp["ln1"]["b"], cfg.layer_norm_eps)
     h = h + mha_apply(lp["attn"], cfg.num_heads, ln1, use_flash=use_flash)
     ln2 = layer_norm(h, lp["ln2"]["w"], lp["ln2"]["b"], cfg.layer_norm_eps)
-    m = quick_gelu(ln2 @ lp["mlp"]["fc1"]["w"].astype(h.dtype)
-                   + lp["mlp"]["fc1"]["b"].astype(h.dtype))
-    m = m @ lp["mlp"]["fc2"]["w"].astype(h.dtype) \
-        + lp["mlp"]["fc2"]["b"].astype(h.dtype)
+    m = quick_gelu(dense(ln2, lp["mlp"]["fc1"]["w"], lp["mlp"]["fc1"]["b"]))
+    m = dense(m, lp["mlp"]["fc2"]["w"], lp["mlp"]["fc2"]["b"])
     return h + m
 
 
@@ -127,4 +126,4 @@ def encode_patches(params: dict, cfg: ClipVisionConfig,
     h, _ = jax.lax.scan(body, h, params["layers"])
     # HF returns last_hidden_state un-post-layernormed; the reference
     # projects it directly and drops CLS.
-    return (h @ params["visual_projection"].astype(h.dtype))[:, 1:, :]
+    return dense(h, params["visual_projection"])[:, 1:, :]

@@ -37,7 +37,7 @@ from macaw_llm_tpu.config import (AUDIO_END, AUDIO_START, IGNORE_ID,
                                   IMAGE_END, IMAGE_START, ModelConfig,
                                   VIDEO_END, VIDEO_START)
 from macaw_llm_tpu.models import clip, llama, whisper
-from macaw_llm_tpu.ops import torch_mha_apply, torch_mha_init
+from macaw_llm_tpu.ops import dense, torch_mha_apply, torch_mha_init
 from macaw_llm_tpu.ops.attention import (shared_kv_project,
                                           torch_mha_apply_shared_kv,
                                           torch_mha_apply_shared_kv_flash)
@@ -192,7 +192,7 @@ def encode_video_simple(params: dict, cfg: ModelConfig,
     hidden, _ = jax.lax.scan(body, hidden, venc["layers"])
     cls = layer_norm(hidden[:, 0], venc["post_layernorm"]["w"],
                      venc["post_layernorm"]["b"], cfg.vision.layer_norm_eps)
-    pooled = cls @ venc["visual_projection"].astype(cls.dtype)  # [B*F, pd]
+    pooled = dense(cls, venc["visual_projection"])  # [B*F, pd]
     pooled = pooled + params["fusion"]["temporal_pos_emb"].astype(
         pooled.dtype)[jnp.tile(jnp.arange(f), b)]
     feats = pooled.reshape(b, f, -1)
@@ -430,8 +430,8 @@ def prepare_inputs(params: dict, cfg: ModelConfig, *,
         im = encode_image(params, cfg, images.astype(compute))
         im = _conv_downsample(fp["conv"]["image"], im,
                               cfg.fusion.image_conv_stride)
-        im = im @ fp["to_hidden"]["image"]["w"].astype(compute) \
-            + fp["to_hidden"]["image"]["b"].astype(compute)
+        im = dense(im, fp["to_hidden"]["image"]["w"],
+                   fp["to_hidden"]["image"]["b"])
         im = _align(fp["image_align"], heads2, im, token_memory, drop,
                     rngs[0], kv_cache=_c("image"))
         block = jnp.concatenate(
@@ -444,8 +444,8 @@ def prepare_inputs(params: dict, cfg: ModelConfig, *,
         au = encode_audio(params, cfg, audios.astype(compute))
         au = _conv_downsample(fp["conv"]["audio"], au,
                               cfg.fusion.audio_conv_stride)
-        au = au @ fp["to_hidden"]["audio"]["w"].astype(compute) \
-            + fp["to_hidden"]["audio"]["b"].astype(compute)
+        au = dense(au, fp["to_hidden"]["audio"]["w"],
+                   fp["to_hidden"]["audio"]["b"])
         au = _align(fp["audio_align"], heads2, au, token_memory, drop,
                     rngs[1], kv_cache=_c("audio"))
         block = jnp.concatenate(
@@ -463,8 +463,8 @@ def prepare_inputs(params: dict, cfg: ModelConfig, *,
                                      rngs[2])
         vi = _conv_downsample(fp["conv"]["video"], vi,
                               cfg.fusion.video_conv_stride)
-        vi = vi @ fp["to_hidden"]["video"]["w"].astype(compute) \
-            + fp["to_hidden"]["video"]["b"].astype(compute)
+        vi = dense(vi, fp["to_hidden"]["video"]["w"],
+                   fp["to_hidden"]["video"]["b"])
         vi = _align(fp["video_align"], heads2, vi, token_memory, drop,
                     rngs[3], kv_cache=_c("video"))
         block = jnp.concatenate(

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from macaw_llm_tpu.config import WhisperConfig
-from macaw_llm_tpu.ops import gelu, layer_norm, mha_apply, mha_init
+from macaw_llm_tpu.ops import dense, gelu, layer_norm, mha_apply, mha_init
 
 
 def init_params(rng: jax.Array, cfg: WhisperConfig,
@@ -81,10 +81,8 @@ def _encoder_layer(cfg: WhisperConfig, lp: dict,
                       use_flash=use_flash)
     ln = layer_norm(h, lp["final_ln"]["w"], lp["final_ln"]["b"],
                     cfg.layer_norm_eps)
-    m = gelu(ln @ lp["mlp"]["fc1"]["w"].astype(h.dtype)
-             + lp["mlp"]["fc1"]["b"].astype(h.dtype))
-    m = m @ lp["mlp"]["fc2"]["w"].astype(h.dtype) \
-        + lp["mlp"]["fc2"]["b"].astype(h.dtype)
+    m = gelu(dense(ln, lp["mlp"]["fc1"]["w"], lp["mlp"]["fc1"]["b"]))
+    m = dense(m, lp["mlp"]["fc2"]["w"], lp["mlp"]["fc2"]["b"])
     return h + m
 
 

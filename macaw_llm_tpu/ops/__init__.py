@@ -1,3 +1,4 @@
+from macaw_llm_tpu.ops.linear import dense
 from macaw_llm_tpu.ops.norms import rms_norm, layer_norm
 from macaw_llm_tpu.ops.rope import rope_cos_sin, apply_rope
 from macaw_llm_tpu.ops.masks import causal_mask, padding_mask, combine_masks
@@ -13,6 +14,7 @@ from macaw_llm_tpu.ops.attention import (
 )
 
 __all__ = [
+    "dense",
     "rms_norm", "layer_norm",
     "rope_cos_sin", "apply_rope",
     "causal_mask", "padding_mask", "combine_masks",

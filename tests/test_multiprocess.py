@@ -13,6 +13,9 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # 2-process jax.distributed job: minutes
+
+
 
 def _free_port() -> int:
     with socket.socket() as s:

@@ -75,3 +75,55 @@ def test_packed_decode_layout_matches_unpacked():
     b = generate(qpacked, cfg.llm, inputs_embeds=emb, max_new_tokens=8,
                  eos_id=-1, pad_id=0)
     np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+
+def test_w8a8_matmul_bounded_error():
+    """W8A8 (int8 activations x int8 weights on the MXU) matches the fp32
+    dot within per-token-rounding tolerance, and the factorized rescale
+    (per-token x per-channel) is the exact commutation it claims."""
+    from macaw_llm_tpu.utils import quantize as qz
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(512, 64), jnp.float32)
+    w = jnp.asarray(rng.randn(64, 96) * 0.05, jnp.float32)
+    q, s = quantize_tensor(w)
+    qz.set_activation_quant(True)
+    try:
+        got = qz.matmul(x, {"q": q, "s": s}, jnp.float32)
+    finally:
+        qz.set_activation_quant(False)
+    ref = x @ w
+    # int8 rounding of BOTH operands: relative error ~ 1/127 per operand
+    err = float(jnp.abs(got - ref).max() / jnp.abs(ref).max())
+    assert err < 0.05, err
+    cos = float(jnp.sum(got * ref)
+                / (jnp.linalg.norm(got) * jnp.linalg.norm(ref)))
+    assert cos > 0.999, cos
+
+
+def test_w8a8_prefill_forward_argmax_agrees():
+    """End-to-end LLaMA prefill under activation quant: greedy tokens of
+    the W8A8 forward agree with bf16-dequant int8 forward on >90% of
+    positions (the serving-accuracy bar used for weight-only int8 above).
+    Rows below _ACT_QUANT_MIN_ROWS (decode matvecs) must NOT take the
+    int8-dot path — asserted via the decode step staying exact vs
+    weight-only."""
+    from macaw_llm_tpu.utils import quantize as qz
+    params = llama.init_params(jax.random.PRNGKey(0), CFG)
+    ids = jnp.asarray(np.random.RandomState(1).randint(5, 128, (8, 40)))
+    qparams = quantize_llama(params)
+    ref, _ = llama.forward(qparams, CFG, input_ids=ids)
+    qz.set_activation_quant(True)
+    try:
+        got, _ = llama.forward(qparams, CFG, input_ids=ids)
+        # decode-shaped call: rows = 8 < min-rows threshold -> weight-only
+        cache = llama.KVCache.create(CFG, 8, 16, jnp.float32)
+        lg_a, _ = llama.forward(qparams, CFG, input_ids=ids[:, :1],
+                                kv_cache=cache)
+    finally:
+        qz.set_activation_quant(False)
+    agree = float((ref.argmax(-1) == got.argmax(-1)).mean())
+    assert agree > 0.9, agree
+    cache = llama.KVCache.create(CFG, 8, 16, jnp.float32)
+    lg_b, _ = llama.forward(qparams, CFG, input_ids=ids[:, :1],
+                            kv_cache=cache)
+    np.testing.assert_array_equal(np.asarray(lg_a), np.asarray(lg_b))

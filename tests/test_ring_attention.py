@@ -166,6 +166,7 @@ class TestRingInDecoder:
                                    rtol=2e-3, atol=1e-4)
 
 
+@pytest.mark.slow  # 8k-seq train-step compile on 8 virtual devices: minutes
 class TestLongContext:
     def test_8k_context_ring_train_step(self):
         """An 8k-token sequence-sharded train step (ring attention,
