@@ -66,6 +66,10 @@ def main():
     p.add_argument("--kv-quant", default=None, choices=[None, "int8"],
                    help="int8-quantized KV cache (decode/serve modes): "
                         "half the decode attention HBM read")
+    p.add_argument("--quantize-towers", action="store_true",
+                   help="with --quantize w8a8: int8 MXU for the tower "
+                        "projections too (measured a LOSS at 7b tower "
+                        "sizes — quant overhead > int8 gain; see BENCH.md)")
     p.add_argument("--slots", type=int, default=0,
                    help="serve mode: engine slots (default: --batch)")
     p.add_argument("--speculative", type=int, default=0, metavar="K",
@@ -130,6 +134,14 @@ def main():
             p["llm"] = pack_llama_for_decode(p["llm"])
         # packed tower qkv: one [h, 3h] in-proj stream per encoder layer
         p = fusion.pack_towers(p)
+        if args.quantize == "w8a8" and args.quantize_towers:
+            # towers on the int8 MXU too. MEASURED A LOSS at 7b b16
+            # (423.2 vs 394.7 ms/step): the towers' matmuls are small
+            # enough that the per-projection activation-quant VPU pass
+            # outweighs the int8 MXU gain, unlike the LLM's [4992, 4096]
+            # x [4096, 12288] dots. Kept opt-in for bigger towers.
+            from macaw_llm_tpu.utils.quantize import quantize_towers
+            p = quantize_towers(p)
         return p, cache
 
     params, align_cache = jax.jit(_init)(jax.random.PRNGKey(0))

@@ -18,16 +18,23 @@ from typing import Optional
 import jax.numpy as jnp
 
 
-def dense(x: jnp.ndarray, w: jnp.ndarray,
+def dense(x: jnp.ndarray, w,
           b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """``x @ w + b`` with the leading dims flattened around the dot.
 
-    x: [..., E]; w: [E, F]; b: [F] or None -> [..., F].
+    x: [..., E]; w: [E, F] plain array or int8 record {"q", "s"}
+    (utils/quantize) — records route through quantize.matmul, which also
+    takes the W8A8 int8-MXU path when activation quant is on;
+    b: [F] or None -> [..., F].
     """
     shape = x.shape
     if x.ndim > 2:
         x = x.reshape(-1, shape[-1])
-    y = x @ w.astype(x.dtype)
+    if isinstance(w, dict) and "q" in w:
+        from macaw_llm_tpu.utils import quantize as qz
+        y = qz.matmul(x, w, x.dtype)
+    else:
+        y = x @ w.astype(x.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
     if len(shape) > 2:

@@ -19,11 +19,10 @@ from macaw_llm_tpu.config import (ClipVisionConfig, LlamaConfig,
 from macaw_llm_tpu.models import clip, llama, whisper
 from macaw_llm_tpu.ops.attention import torch_mha_apply_shared_kv
 from macaw_llm_tpu.utils.hf_import import (_torch_mha_params, import_llama,
-
-pytestmark = pytest.mark.slow  # real-width HF parity: minutes of CPU compiles
-
                                            import_clip_vision,
                                            import_whisper_encoder)
+
+pytestmark = pytest.mark.slow  # real-width HF parity: minutes of CPU compiles
 
 VOCAB = 32007
 MID = LlamaConfig(vocab_size=VOCAB, hidden_size=1024,

@@ -127,3 +127,49 @@ def test_w8a8_prefill_forward_argmax_agrees():
     lg_b, _ = llama.forward(qparams, CFG, input_ids=ids[:, :1],
                             kv_cache=cache)
     np.testing.assert_array_equal(np.asarray(lg_a), np.asarray(lg_b))
+
+
+def test_w8a8_towers_cosine_parity():
+    """quantize_towers + activation quant: CLIP/Whisper encoder outputs
+    stay cosine > 0.995 vs the bf16/fp32 tower (serving-accuracy bar for
+    the W8A8 prefill path; BENCH.md W8A8 rows)."""
+    from macaw_llm_tpu.config import ClipVisionConfig, WhisperConfig
+    from macaw_llm_tpu.models import clip, whisper
+    from macaw_llm_tpu.ops.attention import pack_mha
+    from macaw_llm_tpu.utils import quantize as qz
+
+    rng = np.random.RandomState(0)
+    vis = ClipVisionConfig(hidden_size=64, intermediate_size=128,
+                           num_layers=2, num_heads=4, image_size=32,
+                           patch_size=16, projection_dim=48)
+    cp = clip.init_params(jax.random.PRNGKey(0), vis)
+    cp["layers"]["attn"] = pack_mha(cp["layers"]["attn"])
+    px = jnp.asarray(rng.randn(300, 3, 32, 32), jnp.float32)
+    ref = clip.encode_patches(cp, vis, px)
+    qp = qz.quantize_towers({"image_encoder": cp})["image_encoder"]
+    assert qp["layers"]["attn"]["qkv"]["w"]["q"].dtype == jnp.int8
+    qz.set_activation_quant(True)
+    try:
+        got = clip.encode_patches(qp, vis, px)
+    finally:
+        qz.set_activation_quant(False)
+    cos = float(jnp.sum(ref * got)
+                / (jnp.linalg.norm(ref) * jnp.linalg.norm(got)))
+    assert cos > 0.995, cos
+
+    aud = WhisperConfig(d_model=64, encoder_layers=2,
+                        encoder_attention_heads=4, encoder_ffn_dim=128,
+                        max_source_positions=64, num_mel_bins=16)
+    wp = whisper.init_params(jax.random.PRNGKey(1), aud)
+    wp["layers"]["attn"] = pack_mha(wp["layers"]["attn"])
+    mel = jnp.asarray(rng.randn(8, 16, 128) * 0.3, jnp.float32)
+    refw = whisper.encode(wp, aud, mel)
+    qw = qz.quantize_towers({"audio_encoder": wp})["audio_encoder"]
+    qz.set_activation_quant(True)
+    try:
+        gotw = whisper.encode(qw, aud, mel)
+    finally:
+        qz.set_activation_quant(False)
+    cosw = float(jnp.sum(refw * gotw)
+                 / (jnp.linalg.norm(refw) * jnp.linalg.norm(gotw)))
+    assert cosw > 0.995, cosw
