@@ -137,6 +137,12 @@ class WhisperConfig:
     max_source_positions: int = 1500
     layer_norm_eps: float = 1e-5
     initializer_range: float = 0.02
+    # LayerDrop (reference modeling.py:766-768): stochastic per-layer skip
+    # at this rate during training. whisper-base ships 0.0 (the reference's
+    # actual rate) and the tower is frozen in reference training, so this
+    # is identity by default — implemented for parity with the vendored
+    # WhisperEncoder's training path.
+    encoder_layerdrop: float = 0.0
     # mel frontend constants (whisper audio.py semantics; llm_trainer.py:335-341)
     sample_rate: int = 16000
     n_fft: int = 400

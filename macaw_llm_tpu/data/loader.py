@@ -280,3 +280,160 @@ class BatchLoader:
         finally:
             for f in pending:
                 f.cancel()
+
+
+def stream_jsonl(paths: Sequence[str], process_index: int = 0,
+                 process_count: int = 1) -> Iterator[dict]:
+    """Yield JSON rows from shard files, round-robin sharded by row index
+    across processes (every process sees a disjoint 1/process_count of the
+    stream, independent of shard boundaries)."""
+    import json
+    i = 0
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                if i % process_count == process_index:
+                    yield json.loads(line)
+                i += 1
+
+
+class StreamingBatchLoader:
+    """Streaming dataset mode (reference ``DataTrainingArguments.streaming``,
+    run_clm_llms.py:268-273 — scaffolded there, wired to HF hub streaming,
+    never used with the pickle cache). TPU-native equivalent: train straight
+    from JSONL instruction shards larger than host RAM — rows are tokenized
+    on the fly, shuffled in a bounded buffer, and assembled into the same
+    device-ready [A, B, ...] batches as ``BatchLoader``; no prebuilt npz
+    cache pass.
+
+    Row schema (one JSON object per line):
+      * text: either ``{"prompt": ..., "output": ...}`` (pre-formatted) or
+        Alpaca fields ``{"instruction", "input"?, "output"}`` which are
+        formatted with the reference's exact template
+        (preprocess_data_supervised.py:27-38)
+      * media (optional): ``"image"``/``"audio"``/``"video"`` name-table
+        keys; absent or unknown names become -1 -> zero tensors, the
+        reference's absent-media behavior (llm_trainer.py:314-352)
+
+    Shuffling is a seeded streaming buffer (fill ``shuffle_buffer`` rows,
+    emit a uniformly drawn one, refill) — deterministic per (seed, epoch),
+    so ``epoch(e, skip=k)`` resumes exactly: skipped batches replay the
+    same row consumption and rng draws (tokenizing to re-check row
+    validity, which is cheap) but never decode media (the expensive part).
+
+    ``steps_per_epoch`` must be given (a stream has no len(); the
+    reference's streaming mode likewise requires max_steps).
+    """
+
+    def __init__(self, paths: Sequence[str], tokenizer,
+                 media: Optional[MediaSource] = None,
+                 name_table: Optional[Dict[str, int]] = None,
+                 global_batch: int = 8, accum: int = 1,
+                 max_text_len: int = 256, shuffle_buffer: int = 1024,
+                 seed: int = 0, steps_per_epoch: int = 0,
+                 prefetch: int = 2, num_workers: int = 8,
+                 process_index: int = 0, process_count: int = 1):
+        assert global_batch % accum == 0
+        assert steps_per_epoch > 0, \
+            "streaming mode needs an explicit steps_per_epoch (--steps)"
+        self.paths = list(paths)
+        self.tokenizer = tokenizer
+        self.media = media
+        self.name_table = name_table or {}
+        self.global_batch = global_batch
+        self.accum = accum
+        self.max_text_len = max_text_len
+        self.shuffle_buffer = max(1, shuffle_buffer)
+        self.seed = seed
+        self.steps_per_epoch = steps_per_epoch
+        self.prefetch = max(1, prefetch)
+        self.num_workers = max(1, num_workers)
+        self.process_index = process_index
+        self.process_count = process_count
+        self._decode_pool = None
+
+    def _shuffled_rows(self, rng: np.random.RandomState) -> Iterator[dict]:
+        src = stream_jsonl(self.paths, self.process_index,
+                           self.process_count)
+        buf = []
+        for row in src:
+            buf.append(row)
+            if len(buf) >= self.shuffle_buffer:
+                j = rng.randint(len(buf))
+                buf[j], buf[-1] = buf[-1], buf[j]
+                yield buf.pop()
+        while buf:
+            j = rng.randint(len(buf))
+            buf[j], buf[-1] = buf[-1], buf[j]
+            yield buf.pop()
+
+    def _row_to_example(self, row: dict):
+        from macaw_llm_tpu.data.datasets import tokenize_example
+        from macaw_llm_tpu.data.templates import format_prompt
+        if "prompt" in row:
+            prompt = row["prompt"]
+        else:
+            prompt = format_prompt(row["instruction"], row.get("input", ""))
+        tok = tokenize_example(self.tokenizer, prompt,
+                               row.get("output", row.get("response", "")),
+                               self.max_text_len)
+        if tok is None:
+            return None
+        nt = self.name_table
+        ids = tuple(nt.get(row[k], -1) if row.get(k) else -1
+                    for k in ("image", "audio", "video"))
+        return tok, ids
+
+    def epoch(self, epoch: int,
+              skip: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.RandomState(self.seed + epoch)
+        rows = self._shuffled_rows(rng)
+        pool = None
+        if self.media is not None:
+            from concurrent.futures import ThreadPoolExecutor
+            if self._decode_pool is None:
+                self._decode_pool = ThreadPoolExecutor(
+                    max_workers=self.num_workers,
+                    thread_name_prefix="macaw-stream-decode")
+            pool = self._decode_pool
+
+        gb = self.global_batch
+        # resume fast-forward: replay the skipped prefix's row consumption
+        # exactly (a batch consumes rows until gb VALID ones, so validity
+        # must be re-checked — tokenize, which is cheap, but never decode
+        # media, which is the expensive part the skip avoids)
+        skipped = 0
+        while skipped < min(max(skip, 0), self.steps_per_epoch) * gb:
+            row = next(rows, None)
+            if row is None:
+                return
+            if self._row_to_example(row) is not None:
+                skipped += 1
+        for step in range(max(skip, 0), self.steps_per_epoch):
+            cols = {"input_ids": [], "attention_mask": [], "labels": []}
+            idx = {"images": [], "audios": [], "videos": []}
+            while len(cols["input_ids"]) < gb:
+                row = next(rows, None)
+                if row is None:
+                    return  # stream dried up before steps_per_epoch
+                ex = self._row_to_example(row)
+                if ex is None:
+                    continue
+                tok, (im, au, vi) = ex
+                for k, v in tok.items():
+                    cols[k].append(v)
+                idx["images"].append(im)
+                idx["audios"].append(au)
+                idx["videos"].append(vi)
+            ds = TokenizedDataset(
+                np.stack(cols["input_ids"]),
+                np.stack(cols["attention_mask"]),
+                np.stack(cols["labels"]),
+                np.asarray(idx["images"], np.int32),
+                np.asarray(idx["audios"], np.int32),
+                np.asarray(idx["videos"], np.int32))
+            yield _assemble(ds, self.media, np.arange(gb), self.accum,
+                            pool=pool)

@@ -203,12 +203,17 @@ def encode_video_simple(params: dict, cfg: ModelConfig,
 
 
 def encode_audio(params: dict, cfg: ModelConfig,
-                 audios: jnp.ndarray) -> jnp.ndarray:
-    """[B, 80, 3000] -> [B, 1500, d_model] (modeling.py:1081-1083)."""
+                 audios: jnp.ndarray,
+                 dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """[B, 80, 3000] -> [B, 1500, d_model] (modeling.py:1081-1083).
+
+    dropout_rng enables Whisper LayerDrop when cfg.audio.encoder_layerdrop
+    > 0 (training only; reference modeling.py:766-768)."""
     return whisper.encode(params["audio_encoder"], cfg.audio, audios,
                           use_flash=cfg.tower_flash,
                           remat=(cfg.remat_policy if cfg.remat
-                                 else False))
+                                 else False),
+                          dropout_rng=dropout_rng)
 
 
 # ---------------------------------------------------------------------------
@@ -405,8 +410,8 @@ def prepare_inputs(params: dict, cfg: ModelConfig, *,
     b = input_ids.shape[0]
     heads2 = cfg.fusion.attention_heads * 2
     drop = cfg.fusion.align_dropout if dropout_rng is not None else 0.0
-    rngs = (jax.random.split(dropout_rng, 4) if dropout_rng is not None
-            else [None] * 4)
+    rngs = (jax.random.split(dropout_rng, 5) if dropout_rng is not None
+            else [None] * 5)
     # training with a cache FREEZES the align K/V projections: autodiff
     # treats the cached K/V as constants, so the in-proj K/V rows and
     # bias_k/bias_v get zero gradients and never move — which also keeps
@@ -441,7 +446,8 @@ def prepare_inputs(params: dict, cfg: ModelConfig, *,
         prefix_len += block.shape[1]
 
     if audios is not None:
-        au = encode_audio(params, cfg, audios.astype(compute))
+        au = encode_audio(params, cfg, audios.astype(compute),
+                          dropout_rng=rngs[4])
         au = _conv_downsample(fp["conv"]["audio"], au,
                               cfg.fusion.audio_conv_stride)
         au = dense(au, fp["to_hidden"]["audio"]["w"],

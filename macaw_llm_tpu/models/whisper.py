@@ -7,13 +7,16 @@ copy, modeling.py:662-805): Conv1d(80→d, k=3, p=1)+GELU,
 Conv1d(d→d, k=3, s=2, p=1)+GELU, learned position embedding added as a full
 weight matrix, pre-norm transformer layers, final LayerNorm.
 
-LayerDrop (reference modeling.py:766-768) is a training-time stochastic
-depth trick that is identity at eval; the encoder is frozen in the
-reference's actual training (SURVEY quirk #1), so it is intentionally not
-replicated (documented divergence).
+LayerDrop (reference modeling.py:766-768) — stochastic per-layer skip at
+``cfg.encoder_layerdrop`` during training — is implemented as a scalar
+``lax.cond`` per scan step (identity at eval / rate 0.0 / no rng, which is
+the reference's shipped configuration: whisper-base ships rate 0.0 and the
+tower is frozen).
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -88,7 +91,8 @@ def _encoder_layer(cfg: WhisperConfig, lp: dict,
 
 def encode(params: dict, cfg: WhisperConfig,
            mel: jnp.ndarray, use_flash: bool = False,
-           remat=False) -> jnp.ndarray:
+           remat=False,
+           dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """Reference ``encode_audio`` (modeling.py:1081-1083).
 
     mel: [B, 80, 3000] log-mel (channel-first, Whisper convention)
@@ -97,6 +101,12 @@ def encode(params: dict, cfg: WhisperConfig,
     ``remat`` (False | "nothing"/True | "dots") wraps each encoder layer
     in jax.checkpoint — the reference's gradient_checkpointing_enable on
     the towers (modeling.py:770-783); a no-op while the tower is frozen.
+
+    ``dropout_rng`` + ``cfg.encoder_layerdrop > 0`` enables LayerDrop
+    (reference modeling.py:766-768): each layer is skipped with
+    probability ``encoder_layerdrop``, decided per batch (the reference
+    draws one uniform per layer, not per example). Identity when the rng
+    is None (eval) or the rate is 0.0 (whisper-base's shipped value).
     """
     x = jnp.transpose(mel, (0, 2, 1))        # NWC for TPU conv
     x = gelu(_conv1d(params["conv1"], x, 1))
@@ -112,9 +122,24 @@ def encode(params: dict, cfg: WhisperConfig,
                   else jax.checkpoint_policies.nothing_saveable)
         layer_fn = jax.checkpoint(layer_fn, policy=policy)
 
-    def body(h, lp):
-        return layer_fn(lp, h), None
+    layerdrop = dropout_rng is not None and cfg.encoder_layerdrop > 0.0
+    if layerdrop:
+        n_layers = params["layers"]["attn"]["q"]["w"].shape[0]
+        keep = jax.random.bernoulli(
+            dropout_rng, 1.0 - cfg.encoder_layerdrop, (n_layers,))
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+        def body(h, xs):
+            lp, k = xs
+            # scalar cond: a dropped layer costs nothing (XLA branches,
+            # not selects — both sides are not evaluated)
+            return jax.lax.cond(k, lambda a: layer_fn(*a),
+                                lambda a: a[1], (lp, h)), None
+
+        x, _ = jax.lax.scan(body, x, (params["layers"], keep))
+    else:
+        def body(h, lp):
+            return layer_fn(lp, h), None
+
+        x, _ = jax.lax.scan(body, x, params["layers"])
     return layer_norm(x, params["layer_norm"]["w"], params["layer_norm"]["b"],
                       cfg.layer_norm_eps)

@@ -43,6 +43,16 @@ def parse_args(argv=None):
                    help="JSON Config file (macaw_llm_tpu.config.Config)")
     p.add_argument("--cache", type=str, default=None,
                    help="tokenized dataset cache (.npz)")
+    p.add_argument("--stream", type=str, nargs="+", default=None,
+                   help="streaming mode (reference DataTrainingArguments."
+                        "streaming): JSONL instruction shards tokenized "
+                        "on the fly — no prebuilt cache, dataset may "
+                        "exceed host RAM. Requires --steps and "
+                        "--tokenizer; rows carry prompt/output (or Alpaca "
+                        "instruction/input/output) plus optional "
+                        "image/audio/video name-table keys")
+    p.add_argument("--shuffle-buffer", type=int, default=1024,
+                   help="streaming shuffle buffer size (rows)")
     p.add_argument("--names", type=str, default=None,
                    help="media name table JSON ({'list': [...]})")
     p.add_argument("--tokenizer", type=str, default=None)
@@ -169,28 +179,59 @@ def main(argv=None):
     logger.info("mesh: %s over %d devices", dict(mesh.shape), n_devices)
 
     # ---- data ----
-    if args.synthetic or not args.cache:
-        ds = synthetic_dataset(cfg)
-        media = None if args.no_media else _zero_media(cfg)
-        tokenizer = None
-    else:
-        ds = TokenizedDataset.load(args.cache)
-        names = []
-        if args.names:
-            with open(args.names) as f:
-                names = json.load(f)["list"]
-        media = MediaSource(names, cfg.data,
-                            image_size=cfg.model.vision.image_size,
-                            n_frames=cfg.model.fusion.n_frames)
-
     global_batch = (cfg.train.per_device_batch_size * n_devices
                     * cfg.train.grad_accum_steps)
-    loader = BatchLoader(ds, media, global_batch=global_batch,
-                         accum=cfg.train.grad_accum_steps,
-                         seed=cfg.train.seed,
-                         process_index=jax.process_index(),
-                         process_count=jax.process_count())
     epochs = args.epochs or cfg.train.num_epochs
+    names, name_table = [], {}
+    if args.names:
+        with open(args.names) as f:
+            table = json.load(f)
+        names = table["list"]
+        name_table = table.get("dict") or {n: i for i, n
+                                           in enumerate(names)}
+    if args.stream:
+        # streaming mode (reference DataTrainingArguments.streaming,
+        # run_clm_llms.py:268-273): JSONL shards -> on-the-fly tokenize,
+        # bounded shuffle, no cache pass; the stream has no length, so
+        # --steps bounds the run
+        if not args.steps:
+            raise SystemExit("--stream requires --steps (a stream has "
+                             "no epoch length)")
+        if not args.tokenizer:
+            raise SystemExit("--stream requires --tokenizer (rows are "
+                             "tokenized on the fly)")
+        from transformers import AutoTokenizer
+
+        from macaw_llm_tpu.data.loader import StreamingBatchLoader
+        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+        media = (None if args.no_media else
+                 MediaSource(names, cfg.data,
+                             image_size=cfg.model.vision.image_size,
+                             n_frames=cfg.model.fusion.n_frames))
+        steps_per_epoch = max(1, -(-args.steps // max(epochs, 1)))
+        loader = StreamingBatchLoader(
+            args.stream, tokenizer, media=media, name_table=name_table,
+            global_batch=global_batch, accum=cfg.train.grad_accum_steps,
+            max_text_len=cfg.data.max_text_len,
+            shuffle_buffer=args.shuffle_buffer, seed=cfg.train.seed,
+            steps_per_epoch=steps_per_epoch,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
+    else:
+        if args.synthetic or not args.cache:
+            ds = synthetic_dataset(cfg)
+            media = None if args.no_media else _zero_media(cfg)
+            tokenizer = None
+        else:
+            ds = TokenizedDataset.load(args.cache)
+            media = MediaSource(names, cfg.data,
+                                image_size=cfg.model.vision.image_size,
+                                n_frames=cfg.model.fusion.n_frames)
+        loader = BatchLoader(ds, media, global_batch=global_batch,
+                             accum=cfg.train.grad_accum_steps,
+                             seed=cfg.train.seed,
+                             process_index=jax.process_index(),
+                             process_count=jax.process_count())
     total_steps = max(1, loader.steps_per_epoch * epochs)
     if args.steps:
         total_steps = min(total_steps, args.steps)

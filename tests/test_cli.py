@@ -115,3 +115,37 @@ def test_train_with_eval(tmp_path):
     for r in evals:
         assert np.isfinite(r["eval_loss"])
         assert 0.0 <= r["eval_token_accuracy"] <= 1.0
+
+
+def test_train_streaming_mode(tmp_path, monkeypatch):
+    """--stream: JSONL shards in, on-the-fly tokenize, no npz cache
+    (reference DataTrainingArguments.streaming). Requires --steps and
+    --tokenizer; trains real steps end to end."""
+    from tests.test_data import FakeTokenizer
+
+    from macaw_llm_tpu import run_train
+    monkeypatch.setattr(
+        "transformers.AutoTokenizer.from_pretrained",
+        staticmethod(lambda *_a, **_k: FakeTokenizer()))
+    rows = tmp_path / "rows.jsonl"
+    rows.write_text("\n".join(
+        json.dumps({"instruction": f"q {i}", "output": f"a {i}"})
+        for i in range(64)) + "\n")
+    cfg = dataclasses.replace(_cfg(), train=dataclasses.replace(
+        _cfg().train, save_steps=0))
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+    out_dir = str(tmp_path / "out")
+    state = run_train.main(["--config", cfg_path, "--stream", str(rows),
+                            "--steps", "2", "--tokenizer", "fake",
+                            "--output-dir", out_dir, "--no-media"])
+    assert int(state.step) == 2
+
+    # missing --steps / --tokenizer fail fast with a clear message
+    with pytest.raises(SystemExit, match="--steps"):
+        run_train.main(["--config", cfg_path, "--stream", str(rows),
+                        "--tokenizer", "fake", "--output-dir", out_dir])
+    with pytest.raises(SystemExit, match="--tokenizer"):
+        run_train.main(["--config", cfg_path, "--stream", str(rows),
+                        "--steps", "1", "--output-dir", out_dir])

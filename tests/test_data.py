@@ -443,3 +443,130 @@ class TestInstructionPipeline:
         assert rc == 0
         with Image.open(str(out / "a.jpg")) as im:
             assert max(im.size) == 336
+
+
+class TestStreaming:
+    """Streaming dataset mode (reference DataTrainingArguments.streaming,
+    run_clm_llms.py:268-273) — JSONL shards, on-the-fly tokenize, bounded
+    shuffle, BatchLoader-compatible epoch interface."""
+
+    def _write_shards(self, tmp_path, n=40, shards=2):
+        import json as _json
+        paths = []
+        per = n // shards
+        for s in range(shards):
+            p = tmp_path / f"shard{s}.jsonl"
+            rows = []
+            for i in range(s * per, (s + 1) * per):
+                row = {"instruction": f"question {i}", "output": f"answer {i}"}
+                if i % 3 == 0:
+                    row["image"] = f"img{i}"
+                rows.append(_json.dumps(row))
+            p.write_text("\n".join(rows) + "\n")
+            paths.append(str(p))
+        return paths
+
+    def test_batches_and_determinism(self, tmp_path):
+        from macaw_llm_tpu.data.loader import StreamingBatchLoader
+        paths = self._write_shards(tmp_path)
+        tok = FakeTokenizer()
+        mk = lambda: StreamingBatchLoader(
+            paths, tok, global_batch=4, accum=2, max_text_len=48,
+            shuffle_buffer=8, seed=3, steps_per_epoch=5)
+        a = list(mk().epoch(0))
+        b = list(mk().epoch(0))
+        assert len(a) == 5
+        for x, y in zip(a, b):
+            for k in x:
+                np.testing.assert_array_equal(x[k], y[k])
+        # accum reshape: [A, B/A, L]
+        assert a[0]["input_ids"].shape == (2, 2, 48)
+        # different epoch -> different order
+        c = list(mk().epoch(1))
+        assert any((x["input_ids"] != y["input_ids"]).any()
+                   for x, y in zip(a, c))
+
+    def test_skip_resume_exact(self, tmp_path):
+        from macaw_llm_tpu.data.loader import StreamingBatchLoader
+        paths = self._write_shards(tmp_path)
+        tok = FakeTokenizer()
+        mk = lambda: StreamingBatchLoader(
+            paths, tok, global_batch=4, accum=1, max_text_len=48,
+            shuffle_buffer=8, seed=3, steps_per_epoch=5)
+        full = list(mk().epoch(0))
+        tail = list(mk().epoch(0, skip=3))
+        assert len(tail) == 2
+        for x, y in zip(full[3:], tail):
+            for k in x:
+                np.testing.assert_array_equal(x[k], y[k])
+
+    def test_skip_resume_with_rejected_rows(self, tmp_path):
+        """A batch consumes rows until global_batch VALID ones; skip must
+        replay the same consumption (over-long rows rejected identically)
+        or resume desyncs."""
+        import json as _json
+        from macaw_llm_tpu.data.loader import StreamingBatchLoader
+        rows = []
+        for i in range(48):
+            if i % 5 == 0:  # over-long prompt -> tokenize_example rejects
+                rows.append(_json.dumps(
+                    {"instruction": " ".join(f"w{j}" for j in range(80)),
+                     "output": "x"}))
+            else:
+                rows.append(_json.dumps(
+                    {"instruction": f"q {i}", "output": f"a {i}"}))
+        p = tmp_path / "rows.jsonl"
+        p.write_text("\n".join(rows) + "\n")
+        tok = FakeTokenizer()
+        mk = lambda: StreamingBatchLoader(
+            [str(p)], tok, global_batch=4, accum=1, max_text_len=48,
+            shuffle_buffer=8, seed=7, steps_per_epoch=5)
+        full = list(mk().epoch(0))
+        tail = list(mk().epoch(0, skip=2))
+        for x, y in zip(full[2:], tail):
+            for k in x:
+                np.testing.assert_array_equal(x[k], y[k])
+
+    def test_process_sharding_disjoint(self, tmp_path):
+        from macaw_llm_tpu.data.loader import stream_jsonl
+        paths = self._write_shards(tmp_path, n=10, shards=1)
+        r0 = [r["instruction"] for r in stream_jsonl(paths, 0, 2)]
+        r1 = [r["instruction"] for r in stream_jsonl(paths, 1, 2)]
+        assert len(r0) == len(r1) == 5
+        assert not set(r0) & set(r1)
+
+    def test_prompt_format_and_alpaca_fields(self, tmp_path):
+        import json as _json
+        from macaw_llm_tpu.data.loader import StreamingBatchLoader
+        p = tmp_path / "rows.jsonl"
+        p.write_text("\n".join([
+            _json.dumps({"instruction": "inst", "input": "ctx",
+                         "output": "out"}),
+            _json.dumps({"prompt": "PREBUILT", "output": "out2"}),
+        ]) + "\n")
+        tok = FakeTokenizer()
+        ldr = StreamingBatchLoader([str(p)], tok, global_batch=2,
+                                   max_text_len=64, shuffle_buffer=1,
+                                   seed=0, steps_per_epoch=1)
+        ex1 = ldr._row_to_example({"instruction": "inst", "input": "ctx",
+                                   "output": "out"})
+        ex2 = ldr._row_to_example({"prompt": "PREBUILT", "output": "out2"})
+        assert ex1 is not None and ex2 is not None
+        t, ids = ex1
+        assert ids == (-1, -1, -1)
+        ref = tokenize_example(tok, format_prompt("inst", "ctx"), "out", 64)
+        np.testing.assert_array_equal(t["input_ids"], ref["input_ids"])
+        ref2 = tokenize_example(tok, "PREBUILT", "out2", 64)
+        np.testing.assert_array_equal(ex2[0]["input_ids"],
+                                      ref2["input_ids"])
+
+    def test_name_table_mapping(self, tmp_path):
+        from macaw_llm_tpu.data.loader import StreamingBatchLoader
+        tok = FakeTokenizer()
+        ldr = StreamingBatchLoader(
+            [], tok, name_table={"img7": 7, "vidX": 3},
+            global_batch=1, steps_per_epoch=1)
+        _, ids = ldr._row_to_example(
+            {"prompt": "p", "output": "o", "image": "img7",
+             "video": "vidX", "audio": "unknown-name"})
+        assert ids == (7, -1, 3)

@@ -96,3 +96,63 @@ class TestWhisperEncoder:
         p = whisper.init_params(jax.random.PRNGKey(0), ACFG)
         out = whisper.encode(p, ACFG, jnp.zeros((1, 80, 3000)))
         assert out.shape == (1, 1500, 32)
+
+    def test_layerdrop(self):
+        """LayerDrop (reference modeling.py:766-768): at rate 1.0 every
+        layer is skipped -> output equals the conv+PE+final-LN path with
+        zero transformer layers; at rate 0.0 / rng None it is identity
+        with the plain path. whisper-base ships rate 0.0."""
+        import dataclasses
+
+        import jax
+        rng = np.random.RandomState(1)
+        mel = jnp.asarray(rng.randn(2, 80, 3000).astype(np.float32))
+        p = whisper.init_params(jax.random.PRNGKey(0), ACFG)
+        base = whisper.encode(p, ACFG, mel)
+
+        drop_all = dataclasses.replace(ACFG, encoder_layerdrop=1.0)
+        # zero-layer reference: slice the layer stack empty
+        p_empty = dict(p, layers=jax.tree.map(lambda x: x[:0], p["layers"]))
+        expected = whisper.encode(p_empty, ACFG, mel)
+        got = whisper.encode(p, drop_all, mel,
+                             dropout_rng=jax.random.PRNGKey(3))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-5, atol=1e-5)
+        # rate 0.0 with an rng and rate>0 without an rng are both identity
+        got0 = whisper.encode(p, ACFG, mel, dropout_rng=jax.random.PRNGKey(3))
+        np.testing.assert_allclose(np.asarray(got0), np.asarray(base),
+                                   rtol=1e-6, atol=1e-6)
+        got_none = whisper.encode(p, drop_all, mel)
+        np.testing.assert_allclose(np.asarray(got_none), np.asarray(base),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_layerdrop_partial_grad(self):
+        """rate 0.5: output differs from both all-kept and all-dropped,
+        and gradients flow through the kept layers under jit."""
+        import dataclasses
+
+        import jax
+        cfg = dataclasses.replace(ACFG, encoder_layerdrop=0.5,
+                                  encoder_layers=4)
+        p = whisper.init_params(jax.random.PRNGKey(0), cfg)
+        mel = jnp.asarray(np.random.RandomState(2)
+                          .randn(1, 80, 3000).astype(np.float32))
+
+        @jax.jit
+        def loss(p, key):
+            return jnp.sum(whisper.encode(p, cfg, mel, dropout_rng=key)
+                           ** 2)
+
+        # find a key with a mixed keep pattern
+        for seed in range(20):
+            keep = jax.random.bernoulli(jax.random.PRNGKey(seed), 0.5, (4,))
+            if bool(keep.any()) and not bool(keep.all()):
+                key = jax.random.PRNGKey(seed)
+                break
+        g = jax.grad(loss)(p, key)
+        gl = g["layers"]["attn"]["q"]["w"]  # [L, ...]
+        per_layer = np.asarray(jnp.sum(jnp.abs(gl), axis=tuple(
+            range(1, gl.ndim))))
+        keep_np = np.asarray(keep)
+        assert (per_layer[keep_np] > 0).all()
+        assert (per_layer[~keep_np] == 0).all()
