@@ -56,13 +56,22 @@ def main():
                    choices=["nothing", "dots"],
                    help="remat policy (train mode): dots saves matmul "
                         "outputs, recomputing only elementwise ops")
-    p.add_argument("--quantize", default=None,
-                   choices=[None, "int8", "w8a8"],
+    p.add_argument("--offload", action="store_true",
+                   help="train mode: host-offload AdamW mu/nu "
+                        "(TrainConfig.offload_optimizer — the ZeRO-Offload "
+                        "equivalent, deepspeed_config.json:25-37); "
+                        "measures the step-time cost of streaming the "
+                        "moments over PCIe each step")
+    p.add_argument("--quantize", default="auto",
+                   choices=["auto", "none", "int8", "w8a8"],
                    help="int8: weight-only quantization (decode: direct "
                         "HBM win). w8a8: int8 weights + per-token int8 "
                         "activations on multi-row matmuls -> native "
                         "s8xs8 MXU dots (394 vs 197 peak TOPS on v5e; "
-                        "measured 1.4x on the 7b prefill matmul shapes)")
+                        "measured 1.4x on the 7b prefill matmul shapes). "
+                        "auto (default): w8a8 for prefill (the serving "
+                        "TTFT config; first-token argmax parity tested), "
+                        "full precision elsewhere. none: bf16 everywhere")
     p.add_argument("--kv-quant", default=None, choices=[None, "int8"],
                    help="int8-quantized KV cache (decode/serve modes): "
                         "half the decode attention HBM read")
@@ -85,6 +94,14 @@ def main():
     p.add_argument("--trace", default=None,
                    help="capture an xprof trace of the timed region to DIR")
     args = p.parse_args()
+    if args.quantize == "auto":
+        # prefill default is the measured-best serving TTFT config:
+        # W8A8 (native s8xs8 MXU dots, 505 -> 395 ms/step at 7b b16,
+        # first-token argmax parity tested in test_quantize.py). Other
+        # modes keep their documented explicit flags.
+        args.quantize = "w8a8" if args.mode == "prefill" else None
+    elif args.quantize == "none":
+        args.quantize = None
 
     import jax
     import jax.numpy as jnp
@@ -450,6 +467,7 @@ def bench_train(args, cfg, dev):
     tcfg = TrainConfig(per_device_batch_size=args.batch,
                        grad_accum_steps=args.accum,
                        freeze_encoders=True,
+                       offload_optimizer=args.offload,
                        lora_rank=8 if lora else 0,
                        # QLoRA: int8 frozen base (the reference scaffolds
                        # load_in_8bit, run_clm_llms.py:489) — 6.8 GB of

@@ -533,6 +533,12 @@ class ContinuousEngine:
         self._generated: List[List[int]] = [[] for _ in range(slots)]
         self._budget = np.zeros(slots, np.int64)
         self._temps = np.zeros(slots, np.float32)
+        # device-resident copies of the per-slot control vectors; re-upload
+        # only when admission/finish changes them (not every decode step —
+        # each h2d is a relay dispatch)
+        self._active_dev = None
+        self._temps_dev = None
+        self._ctl_dirty = True
         self._slot_gen = [0] * slots    # guards pipelined readback after
                                         # a slot is recycled
         self.queue: "queue.Queue[Request]" = queue.Queue()
@@ -575,12 +581,7 @@ class ContinuousEngine:
         cdtype = (jnp.dtype(mcfg.dtype) if self.kv_cache_dtype is None
                   else self.kv_cache_dtype)
 
-        @jax.jit
-        def prefill(params, ids, images, audios, videos, mask, temp, rng,
-                    cache):
-            fused = fusion.prepare_inputs(
-                params, mcfg, input_ids=ids, images=images, audios=audios,
-                videos=videos, attention_mask=mask, align_cache=cache)
+        def _prefill_body(params, fused, temp, rng):
             cache = L.KVCache.create(mcfg.llm, 1, self.total_len, cdtype)
             full_mask = jnp.concatenate(
                 [fused.attention_mask.astype(jnp.int32),
@@ -610,6 +611,53 @@ class ContinuousEngine:
                 (cache.k, cache.v, cache.k_scale, cache.v_scale))
                 if v is not None}
             return new, first_tok[0].astype(jnp.int32), last[0] + 1
+
+        @jax.jit
+        def prefill(params, ids, images, audios, videos, mask, temp, rng,
+                    cache):
+            fused = fusion.prepare_inputs(
+                params, mcfg, input_ids=ids, images=images, audios=audios,
+                videos=videos, attention_mask=mask, align_cache=cache)
+            return _prefill_body(params, fused, temp, rng)
+
+        vis = mcfg.vision
+
+        @jax.jit
+        def zero_prefix(params, cache):
+            # the [image][audio][video] prefix for ABSENT media is a
+            # constant: the reference trains/infers text-only examples
+            # with all-zero media tensors (llm_trainer.py loader zeros),
+            # so the tower+alignment output for zeros never changes.
+            # Encode it once; prefill_text splices the cached block.
+            fused = fusion.prepare_inputs(
+                params, mcfg,
+                input_ids=jnp.full((1, 1), 1, jnp.int32),  # [BOS] only
+                images=jnp.zeros((1, vis.image_size, vis.image_size, 3),
+                                 jnp.uint8),
+                audios=jnp.zeros((1, mcfg.audio.n_audio_samples),
+                                 jnp.float32),
+                videos=jnp.zeros((1, mcfg.fusion.n_frames, vis.image_size,
+                                  vis.image_size, 3), jnp.uint8),
+                align_cache=cache)
+            return fused.inputs_embeds[:, 1:]   # drop BOS: [1, P, H]
+
+        @jax.jit
+        def prefill_text(params, ids, mask, temp, rng, prefix):
+            # text-only request: splice the cached zero-media prefix
+            # instead of re-running CLIP x2 + Whisper + alignment on
+            # zeros. Token-exact vs the full path (same embeddings), and
+            # it matters: admission prefills and decode steps share the
+            # one chip — at slots=16/new=128 zero-media tower encodes
+            # were a large slice of the engine's chip time.
+            compute = jnp.dtype(mcfg.dtype)
+            text_emb = params["llm"]["embed_tokens"].astype(compute)[ids]
+            emb = jnp.concatenate(
+                [text_emb[:, :1], prefix.astype(compute), text_emb[:, 1:]],
+                axis=1)
+            full_mask = jnp.concatenate(
+                [jnp.ones((1, prefix.shape[1]), mask.dtype), mask], axis=1)
+            fused = fusion.FusedBatch(emb, full_mask, None)
+            return _prefill_body(params, fused, temp, rng)
 
         @partial(jax.jit, donate_argnums=(0,))
         def admit(cache, lengths, toks, slot, new, new_len, new_tok):
@@ -649,8 +697,10 @@ class ContinuousEngine:
                 (kv.k, kv.v, kv.k_scale, kv.v_scale)) if v is not None}
             return out, new_lengths, new_toks
 
-        self._prefill_fn, self._admit_fn, self._step_fn = \
-            prefill, admit, step
+        self._prefill_fn, self._prefill_text_fn = prefill, prefill_text
+        self._zero_prefix_fn = zero_prefix
+        self._zero_prefix = None   # computed lazily, once, on admission
+        self._admit_fn, self._step_fn = admit, step
 
     # -------------------- admission (own thread) --------------------
 
@@ -693,18 +743,29 @@ class ContinuousEngine:
         mask = np.zeros((1, bucket), np.int32)
         ids[0, :len(t)] = t
         mask[0, :len(t)] = 1
-        image = req.image if req.image is not None else np.zeros(
-            (vis.image_size, vis.image_size, 3), np.uint8)
-        audio = req.audio if req.audio is not None else np.zeros(
-            (mcfg.audio.n_audio_samples,), np.float32)
-        video = req.video if req.video is not None else np.zeros(
-            (mcfg.fusion.n_frames, vis.image_size, vis.image_size, 3),
-            np.uint8)
-        new, tok, length = self._prefill_fn(
-            self.params, jnp.asarray(ids), jnp.asarray(image[None]),
-            jnp.asarray(audio[None]), jnp.asarray(video[None]),
-            jnp.asarray(mask), jnp.float32(req.temperature),
-            jax.random.fold_in(self._key, counter), self.align_cache)
+        if req.image is None and req.audio is None and req.video is None:
+            # text-only: splice the (constant) zero-media prefix; no
+            # tower/alignment compute per request
+            if self._zero_prefix is None:
+                self._zero_prefix = self._zero_prefix_fn(self.params,
+                                                         self.align_cache)
+            new, tok, length = self._prefill_text_fn(
+                self.params, jnp.asarray(ids), jnp.asarray(mask),
+                jnp.float32(req.temperature),
+                jax.random.fold_in(self._key, counter), self._zero_prefix)
+        else:
+            image = req.image if req.image is not None else np.zeros(
+                (vis.image_size, vis.image_size, 3), np.uint8)
+            audio = req.audio if req.audio is not None else np.zeros(
+                (mcfg.audio.n_audio_samples,), np.float32)
+            video = req.video if req.video is not None else np.zeros(
+                (mcfg.fusion.n_frames, vis.image_size, vis.image_size, 3),
+                np.uint8)
+            new, tok, length = self._prefill_fn(
+                self.params, jnp.asarray(ids), jnp.asarray(image[None]),
+                jnp.asarray(audio[None]), jnp.asarray(video[None]),
+                jnp.asarray(mask), jnp.float32(req.temperature),
+                jax.random.fold_in(self._key, counter), self.align_cache)
         # host-sync on the admission thread, NOT the decode loop
         return (req, new, int(tok), length)
 
@@ -718,6 +779,7 @@ class ContinuousEngine:
             self._admit_fn(self.cache, self.lengths, self.toks,
                            jnp.int32(slot), new, length, jnp.int32(tok))
         self._reqs[slot] = req
+        self._ctl_dirty = True
         self._generated[slot] = [tok]
         self._budget[slot] = min(req.max_new_tokens, self.max_new) - 1
         self._temps[slot] = req.temperature
@@ -738,6 +800,7 @@ class ContinuousEngine:
         req._result = {"text": text, "tokens": len(gen)}
         req._done.set()
         self._reqs[slot] = None
+        self._ctl_dirty = True
         self._generated[slot] = []
         self.stats["requests"] += 1
 
@@ -760,7 +823,21 @@ class ContinuousEngine:
                 self._finish(slot)
 
     def _loop(self):
-        pending = None   # (device tokens, [(slot, slot_gen)])
+        # Decode/readback pipeline, depth 2: dispatch step N, then process
+        # step N-2's tokens. Each step's d2h copy is started (async)
+        # right after its dispatch, so by the time step N-2 is PROCESSED
+        # a full iteration of compute has passed and np.asarray is a
+        # local-buffer hit instead of a blocking round trip. At depth 1
+        # the readback serialized behind the in-flight step's compute +
+        # the relay RTT (~29 ms vs ~20 ms of step compute): measured 564
+        # engine vs 787 generate tok/s at 7b int8 slots=16. Cost of the
+        # depth: EOS/budget are observed up to 2 steps late — a finished
+        # slot decodes <= 2 zombie tokens whose pending entries are
+        # dropped by the slot-generation check in _process_readback, and
+        # whose cache writes land beyond the slot's final length (masked
+        # out of every later attention window, overwritten on reuse).
+        from collections import deque
+        pending = deque()  # (device tokens, [(slot, slot_gen)])
         while not self._stop.is_set():
             placed = False
             for slot in range(self.slots):
@@ -774,25 +851,30 @@ class ContinuousEngine:
             active_slots = [i for i, r in enumerate(self._reqs)
                             if r is not None]
             if not active_slots:
-                if pending is not None:
-                    self._process_readback(pending)
-                    pending = None
+                if pending:
+                    self._process_readback(pending.popleft())
                 elif not placed:
                     time.sleep(0.002)
                 continue
-            active = np.zeros((self.slots,), bool)
-            active[active_slots] = True
+            if self._ctl_dirty or self._active_dev is None:
+                active = np.zeros((self.slots,), bool)
+                active[active_slots] = True
+                self._active_dev = jnp.asarray(active)
+                self._temps_dev = jnp.asarray(self._temps)
+                self._ctl_dirty = False
             self.cache, self.lengths, self.toks = \
                 self._step_fn(self.params, self.cache,
-                              self.lengths, self.toks, jnp.asarray(active),
-                              jnp.asarray(self._temps), self._key,
+                              self.lengths, self.toks, self._active_dev,
+                              self._temps_dev, self._key,
                               jnp.int32(self.stats["steps"] % 2**31))
-            new_pending = (self.toks,
-                           [(s, self._slot_gen[s]) for s in active_slots])
             self.stats["steps"] += 1
-            # process the PREVIOUS step's tokens while this one computes
-            if pending is not None:
-                self._process_readback(pending)
-            pending = new_pending
-        if pending is not None:
-            self._process_readback(pending)
+            try:
+                self.toks.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass  # backend without async d2h: asarray blocks as before
+            pending.append((self.toks,
+                            [(s, self._slot_gen[s]) for s in active_slots]))
+            while len(pending) > 2:
+                self._process_readback(pending.popleft())
+        while pending:
+            self._process_readback(pending.popleft())
