@@ -16,7 +16,13 @@ it charges the LLM for tower forwards (frozen CLIP/Whisper/fusion still
 run + get rematerialized in the bwd of everything downstream), remat
 recompute, and the optimizer's HBM sweep. This script splits those out.
 
+Each section can run alone via --only (step:nothing / step:dots /
+step:off / parts) — at 1b the three full-step compiles plus the parts in
+one process exhaust the compile helper / HBM; scripts/run one per
+process and results print as they are measured.
+
 Usage: python scripts/bench_train_breakdown.py [--profile 1b] [--batch 12]
+       [--only step:nothing|step:dots|step:off|parts]
 """
 
 from __future__ import annotations
@@ -36,6 +42,9 @@ def main():
     ap.add_argument("--batch", type=int, default=12)
     ap.add_argument("--seq", type=int, default=256)
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--only", default=None,
+                    choices=["step:nothing", "step:dots", "step:off",
+                             "parts"])
     args = ap.parse_args()
 
     import dataclasses
@@ -105,13 +114,23 @@ def main():
         early (BENCH.md), so timing is a chain of `steps` dispatches with
         ONE forced host readback at the end, amortizing the ~29 ms RTT."""
         import numpy as _np
+
+        def force(out):
+            # reduce to one element ON DEVICE before the d2h: a large
+            # output (e.g. the towers' [B, fused, H] embeds, ~15 MB)
+            # would otherwise pay the relay's ~10 MiB/s for the full
+            # buffer and dominate the measurement
+            if isinstance(out, jax.Array) and out.size > 1:
+                out = out.ravel()[0]
+            return _np.asarray(out)
+
         for _ in range(warmup):
             out = f()
-        _np.asarray(out).ravel()[0]
+        force(out)
         t0 = time.perf_counter()
         for _ in range(args.steps):
             out = f()
-        _np.asarray(out).ravel()[0]
+        force(out)
         return (time.perf_counter() - t0) / args.steps
 
     # LLM FLOPs accounting (matches bench.py: 6N per token full-FT fwd+bwd,
@@ -125,12 +144,26 @@ def main():
     tokens = b * fused_len
     peak = 197e12
 
+    import gc
+
     results = {}
+    print(f"profile={args.profile} batch={b} fused_len={fused_len} "
+          f"N_llm={n_llm / 1e9:.2f}B tokens/step={tokens}", flush=True)
+
+    def report(name, t):
+        results[name] = t
+        mfu = 6 * n_llm * tokens / t / peak
+        print(f"  {name:28s}: {t * 1e3:7.1f} ms   "
+              f"(6N 'LLM MFU' if this were the whole step: {mfu * 100:.0f}%)",
+              flush=True)
 
     # ---- full step, three remat configs ----
-    for name, (remat, policy) in (("step[remat=nothing]", (True, "nothing")),
-                                  ("step[remat=dots]", (True, "dots")),
-                                  ("step[remat=off]", (False, "nothing"))):
+    for only, (remat, policy) in (("step:nothing", (True, "nothing")),
+                                  ("step:dots", (True, "dots")),
+                                  ("step:off", (False, "nothing"))):
+        if args.only and args.only != only:
+            continue
+        name = f"step[remat={policy if remat else 'off'}]"
         c = build(remat, policy)
         trainer = Trainer(c, mesh, total_steps=1000)
         state = trainer.init_state(fresh_params(), donate=True)
@@ -139,50 +172,47 @@ def main():
                 nonlocal state
                 state, m = trainer.train_step(state, batch)
                 return m["loss"]
-            results[name] = timed(run)
+            report(name, timed(run))
         except Exception as e:  # noqa: BLE001 — OOM at remat=off is a result
             results[name] = None
-            print(f"{name:26s}: FAILED ({type(e).__name__}: "
-                  f"{str(e)[:120]})")
+            print(f"  {name:28s}: FAILED ({type(e).__name__}: "
+                  f"{str(e)[:120]})", flush=True)
         del state, trainer
+        gc.collect()
 
-    # ---- forward-only and grad-only, remat=nothing config ----
-    trainer = Trainer(cfg, mesh, total_steps=1000)
-    state = trainer.init_state(fresh_params(), donate=True)
-    mcfg = cfg.model
-    key = jax.random.PRNGKey(1)
+    if args.only in (None, "parts"):
+        # forward / grad-only / towers on a LIGHT param set: bf16
+        # trainables (the step's compute dtype) + bf16 frozen, NO
+        # optimizer state — the full-step sections above already price
+        # the optimizer; carrying fp32 masters + moments here OOMs the
+        # non-donated value_and_grad at 1b batch 12
+        from macaw_llm_tpu.train.state import merge_params, split_params
+        mcfg = cfg.model
+        p = jax.jit(lambda k: fusion.init_params(
+            k, mcfg, param_dtype=jnp.bfloat16))(jax.random.PRNGKey(0))
+        jax.block_until_ready(p)
+        trainable, frozen = split_params(
+            p, freeze_encoders=cfg.train.freeze_encoders)
+        key = jax.random.PRNGKey(1)
 
-    fwd = jax.jit(lambda t, f, m, r: _loss_fn(t, f, mcfg, m, r))
-    results["forward loss"] = timed(
-        lambda: fwd(state.trainable, state.frozen, mb, key))
+        fwd = jax.jit(lambda t, f, m, r: _loss_fn(t, f, mcfg, m, r))
+        report("forward loss", timed(lambda: fwd(trainable, frozen, mb, key)))
 
-    # bf16 trainables for the grad-only pass: matches the step's compute
-    # dtype and halves the extra HBM the non-donated value_and_grad needs
-    diff = jax.tree.map(lambda x: x.astype(jnp.bfloat16), state.trainable)
-    gfn = jax.jit(jax.value_and_grad(
-        lambda t, f, m, r: _loss_fn(t, f, mcfg, m, r)))
-    results["fwd+bwd (no optimizer)"] = timed(
-        lambda: gfn(diff, state.frozen, mb, key)[0])
-    del diff, gfn
+        gfn = jax.jit(jax.value_and_grad(
+            lambda t, f, m, r: _loss_fn(t, f, mcfg, m, r)))
+        report("fwd+bwd (no optimizer)",
+               timed(lambda: gfn(trainable, frozen, mb, key)[0]))
+        del gfn
+        gc.collect()
 
-    # ---- tower-only forward (frozen CLIP x2 + Whisper + align + splice) ----
-    prep = jax.jit(lambda p, m: fusion.prepare_inputs(
-        p, mcfg, input_ids=m["input_ids"], images=m["images"],
-        audios=m["audios"], videos=m["videos"],
-        attention_mask=m["attention_mask"]))
-    from macaw_llm_tpu.train.state import merge_params
-    full = merge_params(state.trainable, state.frozen)
-    results["towers fwd (prepare_inputs)"] = timed(
-        lambda: prep(full, mb).inputs_embeds)
-
-    print(f"\nprofile={args.profile} batch={b} fused_len={fused_len} "
-          f"N_llm={n_llm / 1e9:.2f}B tokens/step={tokens}")
-    for name, t in results.items():
-        if t is None:
-            continue
-        mfu = 6 * n_llm * tokens / t / peak
-        print(f"  {name:28s}: {t * 1e3:7.1f} ms   "
-              f"(6N 'LLM MFU' if this were the whole step: {mfu * 100:.0f}%)")
+        # tower-only forward (frozen CLIP x2 + Whisper + align + splice)
+        prep = jax.jit(lambda p, m: fusion.prepare_inputs(
+            p, mcfg, input_ids=m["input_ids"], images=m["images"],
+            audios=m["audios"], videos=m["videos"],
+            attention_mask=m["attention_mask"]))
+        full = merge_params(trainable, frozen)
+        report("towers fwd (prepare_inputs)",
+               timed(lambda: prep(full, mb).inputs_embeds))
 
     t_step = results.get("step[remat=nothing]")
     t_grad = results.get("fwd+bwd (no optimizer)")
