@@ -124,7 +124,9 @@ def encode(params: dict, cfg: WhisperConfig,
 
     layerdrop = dropout_rng is not None and cfg.encoder_layerdrop > 0.0
     if layerdrop:
-        n_layers = params["layers"]["attn"]["q"]["w"].shape[0]
+        # layout-independent leaf: pack_towers replaces attn q/k/v with a
+        # fused "qkv", but the per-layer norms survive every packing
+        n_layers = params["layers"]["self_attn_ln"]["w"].shape[0]
         keep = jax.random.bernoulli(
             dropout_rng, 1.0 - cfg.encoder_layerdrop, (n_layers,))
 

@@ -43,16 +43,18 @@ class CheckpointManager:
         background while training continues (the reference's ZeRO-3
         gather-on-save, configs/deepspeed_config.json:40, likewise does
         not stall subsequent steps). HBM cost: one transient copy of the
-        mutable state (small under QLoRA/frozen-encoder runs; at a full
-        fine-tune pass ``snapshot=False`` if within ~2x of the HBM
-        ceiling). ``snapshot=False`` falls back to fencing the device
-        reads after every save — no extra memory, but the save's d2h
-        transfer blocks the step loop for its full duration."""
+        mutable state (small under QLoRA/frozen-encoder runs). When that
+        copy would not fit free HBM, or when the state is not fully
+        addressable (multi-process), the save auto-falls back to the
+        fenced path (see _snapshot_ok). ``snapshot=False`` always fences
+        the device reads after every save — no extra memory, but the
+        save's d2h transfer blocks the step loop for its duration."""
         self.directory = os.path.abspath(directory)
         self.save_steps = max(save_steps, 1)
         self.snapshot = snapshot
         self._frozen_host = None
         self._frozen_id = None
+        self._warned_fallback = False
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self.directory,
@@ -63,17 +65,64 @@ class CheckpointManager:
             ),
         )
 
-    def _snapshot_state(self, state: TrainState) -> TrainState:
-        frozen = state.frozen
-        leaves = jax.tree.leaves(frozen)
+    def _snapshot_ok(self, state: TrainState) -> bool:
+        """Whether the snapshot (overlapped) save path is safe here.
+
+        Two guards (both from round-4 advisor findings):
+        - multi-process / non-addressable arrays: snapshotting would need
+          a transient on-device copy of the FULL frozen tree (e.g. ~13 GB
+          for a bf16 7b base) every save — exactly the runs nearest the
+          HBM ceiling. Fall back to the fenced path, which copies nothing.
+        - mutable-state size vs free HBM: the snapshot transiently doubles
+          the mutable state (trainable + opt + step + rng). At a 1b full
+          fine-tune that is ~9.4 GiB — more than a single v5e has free.
+          If the device reports insufficient headroom, fence this save
+          instead of OOMing."""
+        leaves = jax.tree.leaves(state.frozen)
         addressable = jax.process_count() == 1 and all(
             x.is_fully_addressable for x in leaves
             if isinstance(x, jax.Array))
-        if leaves and addressable:
-            # frozen params never change within a run (split_params
-            # contract): one d2h at the first save, then every later
-            # save reads host RAM instead of HBM. Keyed on the treedef
-            # so a config change invalidates the cache.
+        if not addressable:
+            if not self._warned_fallback:
+                logger.warning(
+                    "ckpt snapshot: non-addressable state; falling back "
+                    "to fenced saves (no transient device copies)")
+                self._warned_fallback = True
+            return False
+        mutable = (state.step, state.trainable, state.opt_state, state.rng)
+        need = 0
+        for x in jax.tree.leaves(mutable):
+            if isinstance(x, jax.Array):
+                # per-device bytes of the transient copy
+                shard = x.sharding.shard_shape(x.shape)
+                need += int(np.prod(shard)) * x.dtype.itemsize
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+        except Exception:  # backends without memory stats (CPU)
+            stats = {}
+        limit = stats.get("bytes_limit")
+        in_use = stats.get("bytes_in_use")
+        if limit is None or in_use is None:
+            return True  # no stats: assume host/CPU backend, copies cheap
+        free = limit - in_use
+        if need * 1.1 > free:
+            if not self._warned_fallback:
+                logger.warning(
+                    "ckpt snapshot: mutable state %.2f GiB vs %.2f GiB "
+                    "free HBM; falling back to fenced saves",
+                    need / 2**30, free / 2**30)
+                self._warned_fallback = True
+            return False
+        return True
+
+    def _snapshot_state(self, state: TrainState) -> TrainState:
+        # frozen params never change within a run (split_params
+        # contract): one d2h at the first save, then every later
+        # save reads host RAM instead of HBM. Keyed on the treedef
+        # so a config change invalidates the cache. (Only reached in
+        # the fully-addressable case — _snapshot_ok gates the rest.)
+        frozen = state.frozen
+        if jax.tree.leaves(frozen):
             key = jax.tree.structure(frozen)
             if self._frozen_id is None or self._frozen_id != key:
                 self._frozen_host = jax.tree.map(
@@ -81,8 +130,6 @@ class CheckpointManager:
                     else x, frozen)
                 self._frozen_id = key
             frozen = self._frozen_host
-        else:
-            frozen = jax.tree.map(_copy_leaf, frozen)
         return TrainState(
             step=_copy_leaf(state.step),
             trainable=jax.tree.map(_copy_leaf, state.trainable),
@@ -100,12 +147,13 @@ class CheckpointManager:
             # sees regardless of save_interval_steps; gate here so a
             # step-1 multi-GB write cannot stall a fresh run
             return False
-        to_save = self._snapshot_state(state) if self.snapshot else state
+        snapshot = self.snapshot and self._snapshot_ok(state)
+        to_save = self._snapshot_state(state) if snapshot else state
         saved = self._mgr.save(
             step, args=ocp.args.Composite(
                 state=ocp.args.StandardSave(to_save)),
             force=force)
-        if saved and not self.snapshot:
+        if saved and not snapshot:
             # without a snapshot the caller's next train_step DONATES
             # the very buffers the async writer is still reading; the
             # d2h stream then deadlocks against the donated-buffer reuse

@@ -179,6 +179,7 @@ class Trainer:
         self._step = None
         self._state_shardings = None
         self._opt_dev_shardings = None
+        self._opt_host_shardings = None
         self._align_cache = None
 
     # -------------------- state --------------------
@@ -230,15 +231,33 @@ class Trainer:
 
         abstract = jax.eval_shape(self.tx.init, trainable)
         opt_shard = opt_state_shardings(abstract, t_shard, self.mesh)
-        if self.cfg.train.offload_optimizer:
-            # ZeRO-Offload equivalent: mu/nu/count live in host DRAM and
-            # stream to the chip inside the step (see step_fn). Same
-            # PartitionSpecs — only the memory space changes.
-            self._opt_dev_shardings = opt_shard
-            opt_shard = jax.tree.map(
-                lambda s: s.with_memory_kind("pinned_host"), opt_shard)
         opt_state = jax.jit(self.tx.init,
                             out_shardings=opt_shard)(trainable)
+        if self.cfg.train.offload_optimizer:
+            # ZeRO-Offload equivalent (the reference's shipped default,
+            # configs/deepspeed_config.json:25-37): mu/nu live in host
+            # DRAM between steps and stream through HBM inside the step.
+            # Same PartitionSpecs — only the memory space changes.
+            # Transfer structure (the ONE pattern that works on both the
+            # TPU runtime and the simulated CPU mesh — jitting with
+            # pinned_host OUT shardings trips the SPMD partitioner's
+            # "Side-effect HLO must have sharding" RET_CHECK, and an
+            # in-jit device_put PUSH to host is silently dropped on the
+            # CPU backend):
+            #   * h2d pull: in-jit device_put at the top of step_fn —
+            #     overlaps with early compute under the latency-hiding
+            #     scheduler
+            #   * step outputs: device memory (plain shardings)
+            #   * d2h push: outside-jit device_put in train_step
+            # Scalars (adam count) stay on device: 4 bytes saves nothing
+            # and the s32[] annotate_device_placement is exactly what
+            # the RET_CHECK fires on.
+            self._opt_dev_shardings = opt_shard
+            self._opt_host_shardings = jax.tree.map(
+                lambda leaf, s: (s.with_memory_kind("pinned_host")
+                                 if leaf.ndim >= 1 else s),
+                abstract, opt_shard)
+            opt_state = jax.device_put(opt_state, self._opt_host_shardings)
         rep = NamedSharding(self.mesh, P())
         state = TrainState(
             step=jax.device_put(jnp.zeros((), jnp.int32), rep),
@@ -296,24 +315,49 @@ class Trainer:
             out_sh = ((self._state_shardings, None)
                       if self._state_shardings is not None else None)
             opt_dev = self._opt_dev_shardings
+            if opt_dev is not None:
+                # offload: NO out_shardings at all — with a pinned_host
+                # input in the program, jit+out_shardings annotates every
+                # output with a device placement and the replicated
+                # scalar outputs (step, adam count) then fail the SPMD
+                # partitioner's side-effect sharding RET_CHECK (measured:
+                # any out_shardings + host input + scalar out crashes;
+                # the same program without out_shardings compiles). The
+                # layout pin moves in-graph (with_sharding_constraint on
+                # the output state below), which emits plain Sharding
+                # custom-calls the partitioner accepts. The new opt state
+                # comes back in device memory; train_step pushes it to
+                # host outside the jit.
+                out_sh = None
+                pin_sh = (self._state_shardings._replace(opt_state=opt_dev)
+                          if self._state_shardings is not None else None)
+                pin_sh = jax.tree.map(
+                    lambda s: NamedSharding(s.mesh, s.spec), pin_sh)
 
             @partial(jax.jit, donate_argnums=(0,), out_shardings=out_sh)
             def _step(state, batch, align_cache):
                 batch = jax.lax.with_sharding_constraint(
                     batch, batch_sharding_tree(batch, self.mesh))
                 if opt_dev is not None:
-                    # offload_optimizer: pull mu/nu from host DRAM into
-                    # HBM for the update; out_shardings (pinned_host,
-                    # captured from the live state) pushes the new opt
-                    # state back out — both transfers are in-graph and
-                    # overlap with compute under XLA's latency-hiding
-                    # scheduler
-                    state = state._replace(opt_state=jax.device_put(
+                    # offload_optimizer h2d pull: mu/nu from host DRAM
+                    # into HBM for the update — in-graph, overlaps with
+                    # early compute under XLA's latency-hiding
+                    # scheduler. Scalars (adam count) never offloaded —
+                    # see init_state — and must not get an in-jit
+                    # device_put either (the SPMD partitioner rejects
+                    # the unsharded s32[] annotate_device_placement).
+                    state = state._replace(opt_state=jax.tree.map(
+                        lambda x, s: (jax.device_put(x, s)
+                                      if x.ndim >= 1 else x),
                         state.opt_state, opt_dev))
-                return train_step(state, batch, mcfg, tx, sched, lora_scale,
-                                  grad_dtype=grad_dtype,
-                                  ring_mesh=ring_mesh,
-                                  align_cache=align_cache)
+                out = train_step(state, batch, mcfg, tx, sched, lora_scale,
+                                 grad_dtype=grad_dtype,
+                                 ring_mesh=ring_mesh,
+                                 align_cache=align_cache)
+                if opt_dev is not None and pin_sh is not None:
+                    out = (jax.lax.with_sharding_constraint(out[0], pin_sh),
+                           out[1])
+                return out
 
             self._step = _step
         return self._step
@@ -329,7 +373,18 @@ class Trainer:
                 raise ValueError(
                     "ring_attention requires an all-ones attention_mask "
                     "(pack sequences instead of padding)")
-        return self.step_fn()(state, batch, self._align_cache)
+        new_state, metrics = self.step_fn()(state, batch,
+                                            self._align_cache)
+        if self._opt_host_shardings is not None:
+            # offload d2h push: the step emitted the new opt state in
+            # device memory (see step_fn); move it back to host DRAM.
+            # device_put dispatches async — it overlaps with the caller's
+            # host work (data loading, metrics) — and the HBM copies free
+            # as the transfer drains, restoring the between-step HBM
+            # budget the offload exists for.
+            new_state = new_state._replace(opt_state=jax.device_put(
+                new_state.opt_state, self._opt_host_shardings))
+        return new_state, metrics
 
     def eval_step_fn(self):
         """Forward-only eval: (loss, correct-token count, valid-token

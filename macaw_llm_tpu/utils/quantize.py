@@ -51,6 +51,53 @@ def set_activation_quant(enabled: bool) -> None:
     _ACT_QUANT = bool(enabled)
 
 
+@jax.custom_vjp
+def _w8a8_dot(x: jnp.ndarray, q: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """Per-token int8 activations x int8 weights on the native MXU path,
+    fp32 output (pre-compute-dtype cast). Wrapped in a custom_vjp so the
+    op stays differentiable: jnp.round + the int8 cast otherwise have a
+    zero gradient, which would silently kill training through every
+    >=_ACT_QUANT_MIN_ROWS-row matmul whenever a train step runs with
+    activation quant left on (ADVICE r4). The backward pass is the
+    straight-through estimator: d/dx (Q(x) @ W) ~= g @ W^T with the
+    dequantized weight — exact up to the rounding the forward already
+    accepts."""
+    xf = x.astype(jnp.float32)
+    xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(xs, 1e-12) / 127.0
+    xq = jnp.round(xf / xs).astype(jnp.int8)
+    y32 = jax.lax.dot_general(
+        xq, q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return y32.astype(jnp.float32) * xs \
+        * s.reshape((1,) * (y32.ndim - 1) + (-1,))
+
+
+def _w8a8_dot_fwd(x, q, s):
+    # zero-size marker carries x's dtype through the residuals (a dtype
+    # object itself is not a valid pytree leaf)
+    return _w8a8_dot(x, q, s), (q, s, jnp.zeros((0,), x.dtype))
+
+
+def _w8a8_dot_bwd(res, g):
+    import numpy as np
+    from jax import dtypes
+    q, s, x_marker = res
+    # STE: route the cotangent through the dequantized weight. One layer's
+    # bf16 dequant temp (the scan slices stacks per layer), same footprint
+    # as the weight-only backward.
+    w = q.astype(jnp.float32) * s
+    gx = jax.lax.dot_general(
+        g.astype(jnp.float32), w,
+        (((g.ndim - 1,), (1,)), ((), ()))).astype(x_marker.dtype)
+    # int8 weights take a float0 cotangent; scales are frozen constants.
+    gq = np.zeros(q.shape, dtype=dtypes.float0)
+    return gx, gq, jnp.zeros_like(s)
+
+
+_w8a8_dot.defvjp(_w8a8_dot_fwd, _w8a8_dot_bwd)
+
+
 def quantize_tensor(w: jnp.ndarray, reduce_axis: int = -2
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric int8 with per-output-channel scale.
@@ -221,17 +268,9 @@ def matmul(x: jnp.ndarray, w, compute) -> jnp.ndarray:
         # here was measured 26 ms/step SLOWER at 7b prefill (420.5 vs
         # 394.7 ms) — the opposite of the tower projections (ops/linear),
         # where the flat form wins. Callers that benefit from flat inputs
-        # (dense) flatten before calling.
-        xf = x.astype(jnp.float32)
-        xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-        xs = jnp.maximum(xs, 1e-12) / 127.0
-        xq = jnp.round(xf / xs).astype(jnp.int8)
-        y32 = jax.lax.dot_general(
-            xq, q, (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        y = y32.astype(jnp.float32) * xs \
-            * s.reshape((1,) * (y32.ndim - 1) + (-1,))
-        return y.astype(compute)
+        # (dense) flatten before calling. Differentiable via STE
+        # (_w8a8_dot's custom_vjp).
+        return _w8a8_dot(x, q, s).astype(compute)
     # scale is per-OUTPUT-channel, so (x @ (q*s)) == (x @ q) * s exactly;
     # applying it after the dot leaves only a convert on the weight
     # operand, which XLA fuses into the matmul's HBM read — decode then

@@ -1,0 +1,136 @@
+"""Optimizer host-offload tests (VERDICT r4 #2a).
+
+The reference ships CPU offload of optimizer state as its default
+DeepSpeed config (configs/deepspeed_config.json:25-37). The TPU-native
+equivalent (`TrainConfig.offload_optimizer`) keeps AdamW mu/nu/count in
+pinned host memory and streams them through HBM inside the jitted step
+(trainer.py step_fn). These tests pin the contract on the simulated
+8-device CPU mesh (which exposes the same `pinned_host` memory space):
+
+  * offloaded vs on-device moments produce the SAME loss trajectory
+    (bitwise math, only the memory space differs)
+  * the opt state really lives in pinned_host between steps
+  * an offloaded state round-trips through the Orbax checkpointer and
+    resumes into an offload trainer
+"""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from macaw_llm_tpu.config import (Config, IGNORE_ID, MeshConfig,
+                                  TrainConfig, tiny_model_config)
+from macaw_llm_tpu.models import fusion
+from macaw_llm_tpu.parallel.mesh import create_mesh
+from macaw_llm_tpu.train.trainer import Trainer
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 simulated devices")
+
+
+def _cfg(offload: bool) -> Config:
+    return Config(model=tiny_model_config(),
+                  mesh=MeshConfig(data=2, fsdp=4, tensor=1),
+                  train=TrainConfig(per_device_batch_size=1,
+                                    grad_accum_steps=1,
+                                    offload_optimizer=offload))
+
+
+def _batch(cfg, step, batch=8, seq=16):
+    rng = np.random.RandomState(step)
+    ids = rng.randint(16, 32000, (1, batch, seq))
+    ids[:, :, 0] = 1
+    labels = ids.copy()
+    labels[:, :, :4] = IGNORE_ID
+    vis = cfg.model.vision
+    return {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((1, batch, seq), jnp.int32),
+        "labels": jnp.asarray(labels),
+        "images": jnp.zeros((1, batch, 3, vis.image_size, vis.image_size)),
+        "audios": jnp.zeros((1, batch, 80, 3000)),
+        "videos": jnp.zeros((1, batch, cfg.model.fusion.n_frames, 3,
+                             vis.image_size, vis.image_size)),
+    }
+
+
+def _run(offload: bool, n_steps: int = 5):
+    cfg = _cfg(offload)
+    mesh = create_mesh(cfg.mesh)
+    params = fusion.init_params(jax.random.PRNGKey(0), cfg.model)
+    trainer = Trainer(cfg, mesh, total_steps=100)
+    state = trainer.init_state(params)
+    losses = []
+    for i in range(n_steps):
+        state, m = trainer.train_step(state, _batch(cfg, i))
+        losses.append(float(m["loss"]))
+    return losses, state
+
+
+def _mem_kinds(tree, min_ndim=0):
+    # scalars (adam count) deliberately stay on device: 4 bytes saves
+    # nothing and s32[] scalars trip the SPMD partitioner's side-effect
+    # sharding RET_CHECK when placed in pinned_host (trainer.init_state)
+    return {x.sharding.memory_kind for x in jax.tree.leaves(tree)
+            if isinstance(x, jax.Array) and x.ndim >= min_ndim}
+
+
+class TestOffloadParity:
+    def test_opt_state_lives_in_pinned_host(self):
+        cfg = _cfg(True)
+        mesh = create_mesh(cfg.mesh)
+        params = fusion.init_params(jax.random.PRNGKey(0), cfg.model)
+        trainer = Trainer(cfg, mesh, total_steps=100)
+        state = trainer.init_state(params)
+        assert _mem_kinds(state.opt_state, min_ndim=1) == {"pinned_host"}
+        # params stay on device
+        assert _mem_kinds(state.trainable) == {"device"}
+        # and the step keeps it there (out_shardings pin)
+        state, _ = trainer.train_step(state, _batch(cfg, 0))
+        assert _mem_kinds(state.opt_state, min_ndim=1) == {"pinned_host"}
+
+    def test_loss_trajectory_matches_on_device(self):
+        """The offloaded step computes the identical update — only the
+        memory space of mu/nu differs. 5-step loss trajectories must
+        agree to fp tolerance (CPU mesh; same seeds, same data)."""
+        losses_dev, _ = _run(False)
+        losses_off, state = _run(True)
+        np.testing.assert_allclose(losses_off, losses_dev,
+                                   rtol=2e-5, atol=2e-6)
+        assert int(state.step) == 5
+
+    def test_checkpoint_roundtrip(self):
+        """Offloaded state -> Orbax save -> restore into a fresh offload
+        trainer -> moments identical and training continues."""
+        from macaw_llm_tpu.train.checkpoint import CheckpointManager
+
+        _, state = _run(True, n_steps=2)
+        with tempfile.TemporaryDirectory() as d:
+            mgr = CheckpointManager(d, save_steps=1)
+            assert mgr.save(state, force=True)
+            mgr.wait()
+
+            cfg = _cfg(True)
+            mesh = create_mesh(cfg.mesh)
+            params = fusion.init_params(jax.random.PRNGKey(0), cfg.model)
+            trainer = Trainer(cfg, mesh, total_steps=100)
+            fresh = trainer.init_state(params)
+            restored = mgr.restore(fresh, step=mgr.latest_step())
+            mgr.close()
+        assert restored is not None
+        assert int(restored.step) == 2
+        # moments round-tripped exactly
+        for a, b in zip(jax.tree.leaves(state.opt_state),
+                        jax.tree.leaves(restored.opt_state)):
+            if isinstance(a, jax.Array):
+                np.testing.assert_array_equal(np.asarray(jax.device_get(a)),
+                                              np.asarray(jax.device_get(b)))
+        # and the restored state can keep training under offload
+        cfg2 = _cfg(True)
+        state2, m = trainer.train_step(restored, _batch(cfg2, 2))
+        assert np.isfinite(float(m["loss"]))
+        assert int(state2.step) == 3
