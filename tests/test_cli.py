@@ -14,8 +14,11 @@ import jax
 from macaw_llm_tpu.config import (Config, MeshConfig, TrainConfig,
                                   tiny_model_config)
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 simulated devices")
+pytestmark = [
+    pytest.mark.medium,  # e2e train/resume/inference runs: minutes
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 simulated devices"),
+]
 
 
 def _cfg() -> Config:

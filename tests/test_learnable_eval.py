@@ -13,12 +13,15 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from macaw_llm_tpu.config import (Config, IGNORE_ID, MeshConfig,
                                   TrainConfig, tiny_model_config)
 from macaw_llm_tpu.models import fusion
 from macaw_llm_tpu.parallel.mesh import create_mesh
 from macaw_llm_tpu.train.trainer import Trainer
+
+pytestmark = pytest.mark.medium  # 150 real train steps: minutes
 
 BASE, K, S = 100, 32, 33  # alphabet [BASE, BASE+K), sequences of S tokens
 

@@ -12,6 +12,8 @@ from macaw_llm_tpu.config import Config, MeshConfig, tiny_model_config
 from macaw_llm_tpu.models import fusion
 from macaw_llm_tpu.serve import InferenceEngine, Request, serve
 
+pytestmark = pytest.mark.medium  # engine decode loops + HTTP: minutes
+
 
 class MiniTok:
     pad_token_id = 32006

@@ -18,8 +18,11 @@ from macaw_llm_tpu.parallel.sharding import infer_shardings, spec_for
 from macaw_llm_tpu.train.state import split_params
 from macaw_llm_tpu.train.trainer import Trainer, make_lr_schedule
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 simulated devices")
+pytestmark = [
+    pytest.mark.medium,  # virtual-mesh train-step compiles: minutes
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 simulated devices"),
+]
 
 
 def tiny_config() -> Config:
