@@ -68,16 +68,23 @@ def init_params(rng: jax.Array, cfg: ClipVisionConfig,
 def _embeddings(params: dict, cfg: ClipVisionConfig,
                 pixels: jnp.ndarray) -> jnp.ndarray:
     """pixels [B, 3, H, W] (reference/CLIP channel-first convention) ->
-    [B, 1+P, hidden]."""
+    [B, 1+P, hidden].
+
+    The patch embedding is a stride==kernel VALID conv — mathematically a
+    space-to-depth reshape followed by ONE [B*P, k*k*3] x [k*k*3, hidden]
+    matmul (k*k*3 = 768 at CLIP-B/16: a full 128-lane contraction on the
+    MXU instead of whatever tiling XLA picks for the conv)."""
     compute = pixels.dtype
-    x = jnp.transpose(pixels, (0, 2, 3, 1))  # NHWC for TPU conv
-    patches = jax.lax.conv_general_dilated(
-        x, params["patch_embedding"].astype(compute),
-        window_strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=compute)
-    b = patches.shape[0]
-    patches = patches.reshape(b, -1, cfg.hidden_size)
+    b = pixels.shape[0]
+    k = cfg.patch_size
+    gh, gw = pixels.shape[2] // k, pixels.shape[3] // k
+    # NCHW -> [B, gh, k, gw, k, 3] -> [B, gh*gw, k*k*3] with the SAME
+    # element order as the conv's HWIO kernel reduction (h, w, in-ch)
+    x = pixels.reshape(b, 3, gh, k, gw, k)
+    x = x.transpose(0, 2, 4, 3, 5, 1).reshape(b * gh * gw, k * k * 3)
+    w = params["patch_embedding"].astype(compute).reshape(-1,
+                                                          cfg.hidden_size)
+    patches = (x @ w).reshape(b, gh * gw, cfg.hidden_size)
     cls = jnp.broadcast_to(
         params["class_embedding"].astype(compute)[None, None, :],
         (b, 1, cfg.hidden_size))
