@@ -30,12 +30,21 @@ def main():
     p.add_argument("--layers", type=int, default=32)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--block-n", type=int, default=0)
+    p.add_argument("--depth", type=int, default=4,
+                   help="DMA pipeline depth for the manually-pipelined "
+                        "variant (2 = classic double buffering)")
+    p.add_argument("--skip", default="",
+                   help="comma-separated impls to skip: xla,pallas,pipe")
+    p.add_argument("--chain", type=int, default=8,
+                   help="dispatches per readback (amortizes the relay "
+                        "RTT out of the per-call time; 1 = old timing)")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from macaw_llm_tpu.ops.pallas.matvec import matvec_int8
+    from macaw_llm_tpu.ops.pallas.matvec import (matvec_int8,
+                                                 matvec_int8_pipelined)
     from macaw_llm_tpu.utils import quantize as qz
 
     b, L = args.batch, args.layers
@@ -82,25 +91,55 @@ def main():
         out, _ = jax.lax.scan(body, x, weights)
         return out.sum()
 
+    @jax.jit
+    def run_pipelined(x, weights):
+        def body(acc, ws):
+            h = acc
+            for (q, s), (k, n) in zip(ws, SHAPES):
+                y = (h[:, : q.shape[0]] if h.shape[1] >= q.shape[0]
+                     else jnp.pad(h, ((0, 0), (0, q.shape[0] - h.shape[1]))))
+                h = matvec_int8_pipelined(y, q, s.astype(jnp.float32),
+                                          block_n=args.block_n,
+                                          depth=args.depth)
+            return h[:, :SHAPES[0][0]] * 1e-3, None
+        out, _ = jax.lax.scan(body, x, weights)
+        return out.sum()
+
     def timed(f):
+        """Per-call time with the tunnel RTT amortized: dispatch
+        ``--chain`` calls back-to-back (the device runs them serially)
+        and force ONE readback at the end — the same pipelined-timing
+        rule bench.py uses (BENCH.md header). chain=1 reproduces the old
+        per-call-readback timing."""
         float(f(x0, weights))
         float(f(x0, weights))
         ts = []
         for _ in range(args.steps):
             t0 = time.perf_counter()
+            for _ in range(args.chain - 1):
+                f(x0, weights)
             float(f(x0, weights))
-            ts.append(time.perf_counter() - t0)
+            ts.append((time.perf_counter() - t0) / args.chain)
         return statistics.median(ts)
 
-    t_x = timed(run_xla)
-    t_p = timed(run_pallas)
+    skip = set(args.skip.split(","))
     print(f"decode weight stream x{L} layers, batch {b} "
           f"({int8_bytes / 1e9:.2f} GB int8):")
-    print(f"  xla fused dequant: {t_x * 1e3:7.2f} ms  "
-          f"({int8_bytes / t_x / 1e9:6.1f} GB/s effective)")
-    print(f"  pallas streaming : {t_p * 1e3:7.2f} ms  "
-          f"({int8_bytes / t_p / 1e9:6.1f} GB/s effective)  "
-          f"speedup {t_x / t_p:.2f}x")
+    t_x = None
+    if "xla" not in skip:
+        t_x = timed(run_xla)
+        print(f"  xla fused dequant: {t_x * 1e3:7.2f} ms  "
+              f"({int8_bytes / t_x / 1e9:6.1f} GB/s effective)")
+    if "pallas" not in skip:
+        t_p = timed(run_pallas)
+        print(f"  pallas streaming : {t_p * 1e3:7.2f} ms  "
+              f"({int8_bytes / t_p / 1e9:6.1f} GB/s effective)"
+              + (f"  speedup {t_x / t_p:.2f}x" if t_x else ""))
+    if "pipe" not in skip:
+        t_q = timed(run_pipelined)
+        print(f"  pipelined depth{args.depth}: {t_q * 1e3:7.2f} ms  "
+              f"({int8_bytes / t_q / 1e9:6.1f} GB/s effective)"
+              + (f"  speedup {t_x / t_q:.2f}x" if t_x else ""))
 
 
 if __name__ == "__main__":

@@ -41,6 +41,26 @@ def test_matvec_auto_block_and_odd_batch():
                                rtol=1.6e-2, atol=1e-5)
 
 
+def test_matvec_pipelined_matches_grid_kernel():
+    """The manually-pipelined variant is the SAME math as the grid kernel
+    (fp32 accumulate, scale after) — bitwise agreement expected, across
+    depths and a non-divisible auto-block shape."""
+    from macaw_llm_tpu.ops.pallas.matvec import matvec_int8_pipelined
+    for depth in (1, 2, 4):
+        x, q, s = _mk(k=256, n=1024, b=16, seed=depth)
+        ref = matvec_int8(x, q, s.astype(jnp.float32), block_n=128)
+        out = matvec_int8_pipelined(x, q, s.astype(jnp.float32),
+                                    block_n=128, depth=depth)
+        np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                      np.asarray(ref, np.float32))
+    # odd contraction dim + auto block + depth > n_blocks clamp
+    x, q, s = _mk(k=352, n=256, b=8, seed=9)
+    ref = matvec_int8(x, q, s.astype(jnp.float32))
+    out = matvec_int8_pipelined(x, q, s.astype(jnp.float32), depth=8)
+    np.testing.assert_array_equal(np.asarray(out, np.float32),
+                                  np.asarray(ref, np.float32))
+
+
 def test_decode_kernel_dispatch():
     """set_decode_kernel('pallas') routes the S==1 int8 matmul through the
     kernel and produces identical decode logits."""
