@@ -177,6 +177,12 @@ class FusionConfig:
     audio_conv_kernel: int = 240        # modeling.py:923-924
     audio_conv_stride: int = 220
     align_dropout: float = 0.1          # modeling.py:879-881
+    # Rows of the vocab-embedding K/V memory the alignment attention sees.
+    # None (default) = the full vocabulary — the reference's behavior
+    # (modeling.py:974-975). A small value bounds the align projections'
+    # [V, H] x [H, H] compute for CPU-evidence runs (dryrun_multichip) and
+    # tests; it is NOT a serving/training configuration.
+    align_memory_rows: Optional[int] = None
 
 
 @dataclass(frozen=True)

@@ -290,6 +290,8 @@ def precompute_align_cache(params: dict, cfg: ModelConfig,
     """
     compute = jnp.dtype(cfg.dtype)
     memory = params["llm"]["embed_tokens"].astype(compute)
+    if cfg.fusion.align_memory_rows is not None:
+        memory = memory[:cfg.fusion.align_memory_rows]
     fp = params["fusion"]
     cache = {}
     for mod in ("image", "audio", "video"):
@@ -427,6 +429,10 @@ def prepare_inputs(params: dict, cfg: ModelConfig, *,
     # (the reference repeats it per element, modeling.py:974-975; the
     # projections are batch-invariant so we keep it unbatched)
     token_memory = lp["embed_tokens"].astype(compute)
+    if cfg.fusion.align_memory_rows is not None:
+        # evidence/test scale knob (config.py FusionConfig): bound the
+        # [V, H] x [H, H] align projections; None = reference behavior
+        token_memory = token_memory[:cfg.fusion.align_memory_rows]
 
     blocks = []
     prefix_len = 0
