@@ -56,6 +56,10 @@ def main():
                    choices=["nothing", "dots"],
                    help="remat policy (train mode): dots saves matmul "
                         "outputs, recomputing only elementwise ops")
+    p.add_argument("--pack-towers", action="store_true",
+                   help="train mode: pack frozen CLIP/Whisper q/k/v into "
+                        "one in-proj matmul (TrainConfig."
+                        "pack_frozen_towers; exact math)")
     p.add_argument("--offload", action="store_true",
                    help="train mode: host-offload AdamW mu/nu "
                         "(TrainConfig.offload_optimizer — the ZeRO-Offload "
@@ -384,10 +388,16 @@ def bench_serve(args, cfg, dev):
                                 engine.stats["requests"]))
                 _time.sleep(0.02)
 
+        tok_times = [[] for _ in range(n_req)]  # wall time per token cb
+
         def worker(i):
+            t_sub = _time.perf_counter()
+            tok_times[i].append(t_sub)  # [0] = submit time
             results[i] = engine.generate_sync(
                 Request(prompt=f"bench request number {i}",
-                        max_new_tokens=args.max_new_tokens), timeout=1200)
+                        max_new_tokens=args.max_new_tokens,
+                        stream_cb=lambda tok, i=i: tok_times[i].append(
+                            _time.perf_counter())), timeout=1200)
 
         poller = threading.Thread(target=poll, daemon=True)
         t0 = _time.perf_counter()
@@ -406,6 +416,27 @@ def bench_serve(args, cfg, dev):
             [r for r in results if r is None or "text" not in r][:3]
         total_tokens = sum(r["tokens"] for r in results)
         served_tps = total_tokens / elapsed
+
+        # per-request latency under the slots*4 concurrent load
+        # (VERDICT r4 #7): TTFT = submit -> first streamed token
+        # (includes queueing behind busy slots + the prefill + the
+        # depth-2 readback pipeline's observation lag); inter-token =
+        # successive stream_cb gaps within a request.
+        import statistics as _stats
+
+        def _pct(xs, p):
+            xs = sorted(xs)
+            return xs[min(len(xs) - 1, int(p * (len(xs) - 1) + 0.5))]
+
+        ttfts = [ts[1] - ts[0] for ts in tok_times if len(ts) >= 2]
+        itls = [b - a for ts in tok_times if len(ts) >= 3
+                for a, b in zip(ts[1:-1], ts[2:])]
+        lat = {
+            "ttft_p50_ms": round(_stats.median(ttfts) * 1e3, 1),
+            "ttft_p95_ms": round(_pct(ttfts, 0.95) * 1e3, 1),
+            "itl_p50_ms": round(_stats.median(itls) * 1e3, 1),
+            "itl_p95_ms": round(_pct(itls, 0.95) * 1e3, 1),
+        } if ttfts and itls else {}
 
         # steady state: the window where all slots were provably busy —
         # admissions done for > slots requests and > slots still pending
@@ -427,7 +458,8 @@ def bench_serve(args, cfg, dev):
                   f"kv={args.kv_quant or 'bf16'}, "
                   f"requests={slots * 4}, new={args.max_new_tokens}, "
                   f"end_to_end_tps={served_tps:.0f}, "
-                  f"device={dev.device_kind})",
+                  + "".join(f"{k}={v}, " for k, v in lat.items())
+                  + f"device={dev.device_kind})",
         "value": round(steady_tps or served_tps, 1),
         "unit": "tokens/sec/chip",
         "vs_baseline": 0.0,
@@ -468,6 +500,7 @@ def bench_train(args, cfg, dev):
                        grad_accum_steps=args.accum,
                        freeze_encoders=True,
                        offload_optimizer=args.offload,
+                       pack_frozen_towers=args.pack_towers,
                        lora_rank=8 if lora else 0,
                        # QLoRA: int8 frozen base (the reference scaffolds
                        # load_in_8bit, run_clm_llms.py:489) — 6.8 GB of

@@ -353,6 +353,15 @@ class TrainConfig:
     # lets a single chip run a full fine-tune whose optimizer state
     # exceeds HBM. TPU-only (the CPU backend has no host memory space).
     offload_optimizer: bool = False
+    # pack each FROZEN CLIP/Whisper attention layer's q/k/v projections
+    # into one [h, 3h] in-proj matmul (ops.attention.pack_mha) inside
+    # init_state. Exact math; applies only with freeze_encoders (packed
+    # towers take no gradients). The towers are inference-shaped when
+    # frozen, so training gets the same wider-MXU-tile win the serving
+    # path gets from fusion.pack_towers. Changes the FROZEN subtree's
+    # checkpoint layout — flip only on fresh runs (restore requires the
+    # same setting).
+    pack_frozen_towers: bool = False
     save_steps: int = 5000
     save_total_limit: int = 1
     # async checkpointing: snapshot the mutable state into non-donated

@@ -20,6 +20,7 @@ import json
 import logging
 import os
 import signal
+import time
 
 import jax
 import numpy as np
@@ -329,9 +330,22 @@ def main(argv=None):
             from jax.sharding import NamedSharding, PartitionSpec as P
             bshard = NamedSharding(mesh, P(None, ("dcn", "data", "fsdp")))
             batches = device_prefetch(batches, sharding=bshard)
-        for batch in batches:
+        batch_iter = iter(batches)
+        while True:
+            # loader stall: host time blocked waiting for the next batch.
+            # train_step dispatches async, so any wait here is time the
+            # chip could go idle — the pipeline-health number a streaming
+            # loader must keep ~0 (logged per step to metrics.jsonl).
+            t_wait = time.perf_counter()
+            try:
+                batch = next(batch_iter)
+            except StopIteration:
+                break
+            loader_wait_s = time.perf_counter() - t_wait
             state, m = trainer.train_step(state, batch)
             step = int(state.step)
+            m = dict(m)
+            m["loader_wait_s"] = round(loader_wait_s, 6)
             metrics_log.log(step, m, tokens_per_batch=tokens_per_batch,
                             examples_per_batch=global_batch,
                             n_chips=n_devices)

@@ -209,6 +209,25 @@ class Trainer:
         fd = self.cfg.train.frozen_dtype
         if frozen and fd != "param":
             frozen = _cast_frozen(frozen, jnp.dtype(fd))
+        if (self.cfg.train.pack_frozen_towers
+                and self.cfg.train.freeze_encoders):
+            # frozen towers are inference-shaped: pack each CLIP/Whisper
+            # attention layer's q/k/v into one [h, 3h] in-proj stream
+            # (exact math, split after the dot) — the training-side
+            # counterpart of fusion.pack_towers. No gradients flow here
+            # (the subtree is frozen), so the inference-only layout is
+            # safe.
+            from macaw_llm_tpu.ops.attention import pack_mha
+            frozen = dict(frozen)
+            for tower in ("image_encoder", "video_encoder",
+                          "audio_encoder"):
+                if tower in frozen and "attn" in frozen[tower].get(
+                        "layers", {}):
+                    t = dict(frozen[tower])
+                    layers = dict(t["layers"])
+                    layers["attn"] = pack_mha(layers["attn"])
+                    t["layers"] = layers
+                    frozen[tower] = t
         t_shard = infer_shardings(trainable, self.mesh)
         f_shard = infer_shardings(frozen, self.mesh)
         # jitted identity instead of device_put: device_put may alias the

@@ -19,6 +19,8 @@ from macaw_llm_tpu.ops.attention import (mha_apply, mha_init,
                                          shared_kv_project,
                                          torch_mha_apply, torch_mha_init)
 
+pytestmark = pytest.mark.medium  # full fusion-forward parity compiles: minutes
+
 
 @pytest.fixture(scope="module")
 def setup():

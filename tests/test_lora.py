@@ -14,8 +14,11 @@ from macaw_llm_tpu.models import fusion, llama
 from macaw_llm_tpu.train.lora import init_lora, merge_lora
 from macaw_llm_tpu.train.state import merge_params, split_params
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 simulated devices")
+pytestmark = [
+    pytest.mark.medium,  # multi-step LoRA/QLoRA train compiles: minutes
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 simulated devices"),
+]
 
 RANK, ALPHA = 4, 16.0
 

@@ -28,8 +28,11 @@ from macaw_llm_tpu.models import fusion
 from macaw_llm_tpu.parallel.mesh import create_mesh
 from macaw_llm_tpu.train.trainer import Trainer
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 simulated devices")
+pytestmark = [
+    pytest.mark.medium,  # multi-step offload train compiles: minutes
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 simulated devices"),
+]
 
 
 def _cfg(offload: bool) -> Config:

@@ -266,6 +266,7 @@ class TestDropoutAttentionChunked:
                                        rtol=5e-4, atol=5e-5,
                                        err_msg=f"d{name}")
 
+    @pytest.mark.medium  # 4000-sample Monte-Carlo expectation: minutes
     def test_mha_dropout_expectation(self):
         """torch_mha_apply's dropout path (now chunked) keeps the
         no-dropout output in expectation."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from macaw_llm_tpu.config import LlamaConfig
 from macaw_llm_tpu.models import llama
@@ -23,6 +24,7 @@ def test_roundtrip_error_small():
     assert rel < 0.01
 
 
+@pytest.mark.medium  # quantized forward + decode compiles
 def test_quantized_forward_close_and_cache_decode():
     params = llama.init_params(jax.random.PRNGKey(0), CFG)
     ids = jnp.asarray(np.random.RandomState(1).randint(5, 128, (2, 9)))
@@ -41,6 +43,7 @@ def test_quantized_forward_close_and_cache_decode():
     assert int(cache.length) == 5
 
 
+@pytest.mark.medium  # two decode-path compiles
 def test_packed_decode_layout_matches_unpacked():
     """pack_llama_for_decode (qkv / gateup fused streams) is exact: same
     logits and same generated tokens, bf16 and int8."""
@@ -100,6 +103,7 @@ def test_w8a8_matmul_bounded_error():
     assert cos > 0.999, cos
 
 
+@pytest.mark.medium  # full-model prefill compile
 def test_w8a8_prefill_forward_argmax_agrees():
     """End-to-end LLaMA prefill under activation quant: greedy tokens of
     the W8A8 forward agree with bf16-dequant int8 forward on >90% of
@@ -129,6 +133,7 @@ def test_w8a8_prefill_forward_argmax_agrees():
     np.testing.assert_array_equal(np.asarray(lg_a), np.asarray(lg_b))
 
 
+@pytest.mark.medium  # full-model prefill compile
 def test_w8a8_towers_cosine_parity():
     """quantize_towers + activation quant: CLIP/Whisper encoder outputs
     stay cosine > 0.995 vs the bf16/fp32 tower (serving-accuracy bar for

@@ -12,8 +12,11 @@ from macaw_llm_tpu.parallel.ring_attention import (inverse_permutation,
                                                    ring_attention,
                                                    zigzag_indices)
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 simulated devices")
+pytestmark = [
+    pytest.mark.medium,  # 8-device shard_map grads: minutes
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 simulated devices"),
+]
 
 
 def make_qkv(b=1, s=256, n=2, d=64, seed=0):

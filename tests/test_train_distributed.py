@@ -204,6 +204,42 @@ class TestTrainStep:
         np.testing.assert_allclose(wa, wb, rtol=1e-4, atol=1e-7)
 
 
+class TestPackFrozenTowers:
+    def test_packed_towers_same_loss_and_update(self):
+        """pack_frozen_towers folds each frozen tower layer's q/k/v into
+        one in-proj matmul — exact math, so the first step's loss and the
+        trainable update must match the unpacked run (media non-zero so
+        the towers actually contribute)."""
+        import dataclasses
+        cfg = tiny_config()
+        cfg_p = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           pack_frozen_towers=True))
+        mesh = create_mesh(cfg.mesh)
+        params = fusion.init_params(jax.random.PRNGKey(3), cfg.model)
+        batch = make_batch(cfg, accum=2, batch=8)
+        rng = np.random.RandomState(7)
+        vis = cfg.model.vision
+        batch["images"] = jnp.asarray(
+            rng.rand(2, 8, 3, vis.image_size, vis.image_size), jnp.float32)
+        batch["audios"] = jnp.asarray(rng.randn(2, 8, 80, 3000) * 0.1,
+                                      jnp.float32)
+
+        losses, weights = [], []
+        for c in (cfg, cfg_p):
+            tr = Trainer(c, mesh, total_steps=100)
+            st = tr.init_state(params, rng=jax.random.PRNGKey(42))
+            if c.train.pack_frozen_towers:
+                assert "qkv" in st.frozen["image_encoder"]["layers"]["attn"]
+            st, m = tr.train_step(st, batch)
+            losses.append(float(m["loss"]))
+            weights.append(np.asarray(jax.device_get(
+                st.trainable["fusion"]["to_hidden"]["image"]["w"])))
+        np.testing.assert_allclose(losses[1], losses[0], rtol=2e-5)
+        np.testing.assert_allclose(weights[1], weights[0],
+                                   rtol=1e-4, atol=1e-7)
+
+
 class TestLRSchedule:
     def test_warmup_cosine(self):
         tcfg = TrainConfig(learning_rate=3e-5, warmup_ratio=0.03)
