@@ -56,6 +56,10 @@ def main():
                    choices=["nothing", "dots"],
                    help="remat policy (train mode): dots saves matmul "
                         "outputs, recomputing only elementwise ops")
+    p.add_argument("--no-flash-llm", action="store_true",
+                   help="prefill mode: einsum LLM attention instead of "
+                        "the fused short-seq kernel (mh_attention) — the "
+                        "r4-era default, kept for A/B")
     p.add_argument("--pack-towers", action="store_true",
                    help="train mode: pack frozen CLIP/Whisper q/k/v into "
                         "one in-proj matmul (TrainConfig."
@@ -261,11 +265,9 @@ def main():
             videos=batch["videos"],
             attention_mask=batch["attention_mask"],
             align_cache=align_cache)
-        # einsum LLM attention: at fused_len ~312 the XLA path beats the
-        # streaming flash kernel by ~60 ms (flash pays off past ~2k tokens)
         h, _ = llama.forward_hidden(
             params["llm"], cfg.llm, fused.inputs_embeds,
-            fused.attention_mask, use_flash=False)
+            fused.attention_mask, use_flash=not args.no_flash_llm)
         # first-token logits only (TTFT endpoint) — project just the last
         # position instead of the full [B, S, V] logits (saves the 1.3
         # TFLOP full-seq lm_head and its ~320 MB fp32 temp at batch 16)

@@ -241,7 +241,16 @@ def _attention(cfg: LlamaConfig, p: dict, h: jnp.ndarray,
                              axis=ring_axis, layout=ring_layout)
     elif use_flash and kv is None:
         from macaw_llm_tpu.ops.pallas.flash_attention import flash_attention
-        out = flash_attention(q, k_full, v_full, flash_bias, causal=True)
+        from macaw_llm_tpu.ops.pallas.mh_attention import (
+            fits_mh_attention, mh_attention)
+        if fits_mh_attention(s, k_full.shape[1], d):
+            # short-seq fused kernel: whole seq resident in VMEM, 8
+            # heads/grid-step — 0.97 vs einsum's 4.94 ms at the 7b
+            # fused-prefill shape (see mh_attention.py header)
+            out = mh_attention(q, k_full, v_full, flash_bias, causal=True)
+        else:
+            out = flash_attention(q, k_full, v_full, flash_bias,
+                                  causal=True)
     elif quant_cache:
         from macaw_llm_tpu.ops.attention import dot_product_attention_quant
         out = dot_product_attention_quant(q, k_full, v_full, k_sc, v_sc,

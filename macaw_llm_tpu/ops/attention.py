@@ -190,7 +190,17 @@ def mha_apply(params: dict, num_heads: int,
     # (30.5 ms vs 37.3 ms) — same shape-dependent crossover as the LLM's
     # einsum-below-2k rule (bench.py).
     if use_flash and mask is None and k.shape[1] >= 1024:
-        out = flash_sdpa(q, k, v)
+        if (k.shape[1] <= 1536 and q.shape[1] <= 1536
+                and jnp.dtype(q.dtype).itemsize == 2):
+            # bf16 only: the fp32 single-block kernel needs 18.1 MB of
+            # scoped VMEM (> the 16 MB limit — measured compile OOM)
+            # single-block grid for Whisper-length (1500) sequences: the
+            # whole seq fits one (block_q, block_k) tile, cutting the
+            # grid to B*N steps (measured 4.5 vs 5.1 ms per attention at
+            # b16x8 heads — scripts/bench_tower_internals.py block sweep)
+            out = flash_sdpa(q, k, v, block_q=1536, block_k=1536)
+        else:
+            out = flash_sdpa(q, k, v)
     else:
         out = dot_product_attention(q, k, v, mask)
     return _proj(params["o"], _merge_heads(out))

@@ -49,6 +49,33 @@ def _clamp_blocks(block_q: int, block_k: int, sq: int, sk: int):
             min(block_k, _round_up(sk, 128)))
 
 
+# single-block threshold: the [block_q, block_k] fp32 logits tile. 2 MB
+# covers the fused-prefill shape (312x312 -> 320x384 = 0.49 MB) and any
+# seq pair up to ~724x724 while leaving bwd's three live [bq, bk] fp32
+# temps (s, p, ds) + accumulators well under the 16 MB scoped-VMEM limit.
+_SINGLE_BLOCK_LOGITS_BYTES = 2 << 20
+
+
+def _auto_blocks(block_q, block_k, sq: int, sk: int):
+    """Resolve block sizes when the caller didn't pick them (None).
+
+    Short sequences get ONE (q, k) block covering the whole (padded)
+    sequence, collapsing the grid to (B*N, 1, 1): the per-grid-step fixed
+    cost dominates short-seq attention (measured on v5e: the default
+    256/256 blocks make a 2048-step grid at the 7b fused-prefill shape
+    [16, 312, 32, 128] and lose to the einsum path, while the einsum path
+    itself burns 4.9 ms/call materializing [B, N, S, S] fp32 logits in
+    HBM — scripts/bench_tower_internals.py, _attn_bench r5). Long
+    sequences keep the streaming defaults (VMEM-bounded).
+    """
+    bq, bk = _round_up(sq, 8), _round_up(sk, 128)
+    if (block_q is None and block_k is None
+            and bq * bk * 4 <= _SINGLE_BLOCK_LOGITS_BYTES):
+        return bq, bk
+    return _clamp_blocks(block_q or DEFAULT_BLOCK_Q,
+                         block_k or DEFAULT_BLOCK_K, sq, sk)
+
+
 def _interpret() -> bool:
     """Pallas TPU kernels only run compiled on TPU; interpret elsewhere
     (CPU tests, debugging)."""
@@ -455,8 +482,8 @@ _flash_core_lse.defvjp(_flash_core_lse_fwd, _flash_core_lse_bwd)
 def flash_attention_with_lse(q, k, v, padding_bias=None, *,
                              causal: bool = True,
                              scale: Optional[float] = None,
-                             block_q: int = DEFAULT_BLOCK_Q,
-                             block_k: int = DEFAULT_BLOCK_K):
+                             block_q: Optional[int] = None,
+                             block_k: Optional[int] = None):
     """flash_attention that also returns the per-query logsumexp
     [B, S, N] fp32 — the ring-attention chunk combiner needs it.
 
@@ -467,7 +494,7 @@ def flash_attention_with_lse(q, k, v, padding_bias=None, *,
         padding_bias = jax.lax.stop_gradient(padding_bias)
     b, sq, n, d = q.shape
     sk = k.shape[1]
-    block_q, block_k = _clamp_blocks(block_q, block_k, sq, sk)
+    block_q, block_k = _auto_blocks(block_q, block_k, sq, sk)
     pad_q = (-sq) % block_q
     pad_k = (-sk) % block_k
     bias = padding_bias
@@ -491,8 +518,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     padding_bias: Optional[jnp.ndarray] = None, *,
                     causal: bool = True,
                     scale: Optional[float] = None,
-                    block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K) -> jnp.ndarray:
+                    block_q: Optional[int] = None,
+                    block_k: Optional[int] = None) -> jnp.ndarray:
     """Flash attention. q/k/v: [B, S, N, D]; padding_bias: additive fp32
     [B, S_k] (0 for keep, NEG_INF for masked) or None. Returns [B, S, N, D].
 
@@ -507,7 +534,7 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if padding_bias is not None:
         padding_bias = jax.lax.stop_gradient(padding_bias)
     sq, sk = q.shape[1], k.shape[1]
-    block_q, block_k = _clamp_blocks(block_q, block_k, sq, sk)
+    block_q, block_k = _auto_blocks(block_q, block_k, sq, sk)
     # pad seq lens up to block multiples
     pad_q = (-sq) % block_q
     pad_k = (-sk) % block_k

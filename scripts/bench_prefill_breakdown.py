@@ -48,8 +48,14 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--steps", type=int, default=8)
-    p.add_argument("--quantize", default=None, choices=[None, "int8"])
+    p.add_argument("--quantize", default=None,
+                   choices=[None, "int8", "w8a8"])
     args = p.parse_args()
+    if args.quantize == "w8a8":
+        # decompose the bench.py default step: int8 weights + per-token
+        # int8 activations on the LLM's multi-row matmuls
+        from macaw_llm_tpu.utils.quantize import set_activation_quant
+        set_activation_quant(True)
 
     import dataclasses
     cfg = dataclasses.replace(macaw_7b(), dtype="bfloat16")
@@ -58,7 +64,7 @@ def main():
     def _init(key):
         prm = fusion.init_params(key, cfg, param_dtype=jnp.bfloat16)
         cache = fusion.precompute_align_cache(prm, cfg, quantize=True)
-        if args.quantize == "int8":
+        if args.quantize in ("int8", "w8a8"):
             from macaw_llm_tpu.utils.quantize import quantize_llama
             prm["llm"] = quantize_llama(prm["llm"])
         prm = fusion.pack_towers(prm)
