@@ -96,14 +96,26 @@ class CheckpointManager:
                 # per-device bytes of the transient copy
                 shard = x.sharding.shard_shape(x.shape)
                 need += int(np.prod(shard)) * x.dtype.itemsize
+        dev = jax.local_devices()[0]
         try:
-            stats = jax.local_devices()[0].memory_stats() or {}
+            stats = dev.memory_stats() or {}
         except Exception:  # backends without memory stats (CPU)
             stats = {}
         limit = stats.get("bytes_limit")
         in_use = stats.get("bytes_in_use")
         if limit is None or in_use is None:
-            return True  # no stats: assume host/CPU backend, copies cheap
+            if dev.platform != "cpu":
+                # accelerator with no memory stats (e.g. a relay-tunneled
+                # TPU returns None): headroom for the transient copy is
+                # unprovable — fence this save instead of risking an OOM
+                # (hit in practice: 1b full FT at save step 50, r5)
+                if not self._warned_fallback:
+                    logger.warning(
+                        "ckpt snapshot: no device memory stats; falling "
+                        "back to fenced saves")
+                    self._warned_fallback = True
+                return False
+            return True  # host/CPU backend: copies cheap
         free = limit - in_use
         if need * 1.1 > free:
             if not self._warned_fallback:

@@ -72,8 +72,12 @@ def _gen_rows(path: str, n_rows: int, names: list) -> None:
         for i in range(n_rows):
             row = {
                 "instruction": f"describe sample {i} in detail",
-                "output": " ".join(f"tok{j}" for j in range(
-                    8 + int(rng.randint(0, 24)))),
+                # random token ids so the target is not trivially
+                # memorizable (a fixed enumeration collapses the loss to
+                # ~0 within 30 steps of a 1b model)
+                "output": " ".join(
+                    f"tok{int(t)}" for t in rng.randint(
+                        0, 4096, 8 + int(rng.randint(0, 24)))),
             }
             if i % 2 == 0:
                 row["image"] = imgs[i % len(imgs)]
@@ -121,7 +125,7 @@ def main():
         mesh=MeshConfig(dcn=1, data=1, fsdp=1, tensor=1),
         data=dataclasses.replace(DataConfig(), image_dir=os.path.join(
             data_dir, "images"), audio_dir=os.path.join(data_dir, "audio"),
-            video_dir=os.path.join(data_dir, "frames")),
+            coco_dir=os.path.join(data_dir, "images")),
         train=TrainConfig(per_device_batch_size=args.batch,
                           grad_accum_steps=1,
                           grad_dtype="bfloat16", mu_dtype="bfloat16",
